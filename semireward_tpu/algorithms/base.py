@@ -1,0 +1,110 @@
+"""Algorithm protocol: SSL algorithms as pure loss functions.
+
+The reference models an algorithm as a class with a mutable hook pipeline
+(core/algorithmbase.py:49-599). Here an algorithm is a *pure function* from
+(params, batch, algo_state, rng, step) to (total_loss, aux): the jitted train
+step differentiates it, applies the optimizer, and threads the returned
+algorithm state. Host-side concerns (eval cadence, checkpointing, logging)
+live in core/trainer.py.
+
+Every algorithm subclasses :class:`Algorithm`, carries only static python
+config, and is registered under its reference name in ``ALGORITHMS``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semireward_tpu.core.losses import ce_loss, consistency_loss, gen_ulb_targets
+from semireward_tpu.algorithms import common as C
+
+
+class StepCtx(NamedTuple):
+    apply_fn: Callable
+    params: Any
+    batch_stats: Any
+    batch: Dict[str, jnp.ndarray]
+    algo_state: Any
+    rng: jax.Array
+    step: jnp.ndarray  # int32 scalar, == reference `self.it`
+    ema_params: Any = None  # EMA shadow (teacher) — used by meanteacher
+    sr_state: Any = None    # SemiReward state (SR variants only)
+
+
+class LossOut(NamedTuple):
+    total_loss: jnp.ndarray
+    sup_loss: jnp.ndarray
+    unsup_loss: jnp.ndarray
+    extra_loss: jnp.ndarray          # e.g. FreeMatch entropy term
+    unsup_weight: jnp.ndarray        # effective lambda_u * warmup multiplier
+    mask: Optional[jnp.ndarray]      # confidence mask over ulb batch
+    pseudo_label: Optional[jnp.ndarray]
+    fwd: Optional[C.ForwardOut]
+    new_algo_state: Any
+    new_batch_stats: Any
+    metrics: Dict[str, jnp.ndarray]
+
+
+class Algorithm:
+    """Base. Subclasses override ``init_state`` and ``loss``."""
+
+    NAME = "base"
+    DEFAULTS: Dict[str, Any] = {}
+    # batch keys this algorithm consumes (reference: process_batch filters by
+    # train_step signature, algorithmbase.py:282-306)
+    BATCH_KEYS: Tuple[str, ...] = ("x_lb", "y_lb", "idx_ulb", "x_ulb_w", "x_ulb_s")
+
+    def __init__(self, cfg, data_info: Optional[Dict[str, Any]] = None):
+        self.cfg = cfg
+        self.data_info = data_info or {}
+
+    # ---- state -----------------------------------------------------------
+    def init_state(self):
+        return ()
+
+    # ---- loss ------------------------------------------------------------
+    def loss(self, ctx: StepCtx) -> LossOut:
+        raise NotImplementedError
+
+    # ---- shared plumbing ---------------------------------------------------
+    def forward(self, ctx: StepCtx, stop_grad_w: bool = True) -> C.ForwardOut:
+        b = ctx.batch
+        return C.ssl_forward(
+            ctx.apply_fn, ctx.params, ctx.batch_stats,
+            b["x_lb"], b["x_ulb_w"], b["x_ulb_s"], ctx.rng,
+            train=True, use_cat=self.cfg.use_cat, stop_grad_w=stop_grad_w,
+        )
+
+    def unsup_warmup_factor(self, step, warm=None):
+        """np.clip(it / (unsup_warm_up * num_train_iter), 0, 1)
+        (reference pseudolabel.py:87, pimodel.py, meanteacher.py)."""
+        warm = self.cfg.unsup_warm_up if warm is None else warm
+        denom = max(warm * self.cfg.num_train_iter, 1e-9)
+        return jnp.clip(step.astype(jnp.float32) / denom, 0.0, 1.0)
+
+    def pack(self, *, sup_loss, unsup_loss, fwd, new_algo_state,
+             extra_loss=None, mask=None, pseudo_label=None,
+             lambda_u=None, warmup=None, metrics=None) -> LossOut:
+        lam = self.cfg.ulb_loss_ratio if lambda_u is None else lambda_u
+        w = 1.0 if warmup is None else warmup
+        extra = jnp.asarray(0.0) if extra_loss is None else extra_loss
+        total = sup_loss + lam * unsup_loss * w + extra
+        m = {
+            "sup_loss": sup_loss,
+            "unsup_loss": unsup_loss,
+            "total_loss": total,
+        }
+        if mask is not None:
+            m["util_ratio"] = mask.astype(jnp.float32).mean()
+        if metrics:
+            m.update(metrics)
+        return LossOut(
+            total_loss=total, sup_loss=sup_loss, unsup_loss=unsup_loss,
+            extra_loss=extra, unsup_weight=jnp.asarray(lam * 1.0) * w,
+            mask=mask, pseudo_label=pseudo_label, fwd=fwd,
+            new_algo_state=new_algo_state,
+            new_batch_stats=(fwd.model_state.get("batch_stats") if fwd and fwd.model_state else None),
+            metrics=m,
+        )

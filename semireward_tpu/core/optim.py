@@ -1,0 +1,156 @@
+"""Optimizers and LR schedules (optax).
+
+TPU-native rebuild of the reference optimizer builder
+(semilearn/core/utils/build.py:193-251):
+
+- SGD (nesterov) / AdamW
+- weight decay skipped on norm/bias params (``bn_wd_skip``)
+- cosine schedule with warmup and 7/16 cycles
+- BEiT-style layer-wise LR decay (reference nets/utils.py param_groups_layer_decay)
+
+Everything is a single optax GradientTransformation applied to one params
+pytree inside the jitted train step — there are no python-side param groups.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cosine_schedule_with_warmup(
+    lr: float,
+    num_training_steps: int,
+    num_warmup_steps: int = 0,
+    num_cycles: float = 7.0 / 16.0,
+) -> optax.Schedule:
+    """LR multiplier schedule exactly matching reference build.py:227-251."""
+
+    def sched(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(1.0, float(num_warmup_steps))
+        denom = float(max(1, num_training_steps - num_warmup_steps))
+        frac = (count - num_warmup_steps) / denom
+        cos = jnp.maximum(0.0, jnp.cos(math.pi * num_cycles * frac))
+        mult = jnp.where(count < num_warmup_steps, warm, cos)
+        return lr * mult
+
+    return sched
+
+
+def _path_names(path) -> list:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "name"):
+            out.append(str(p.name))
+        else:
+            out.append(str(p))
+    return out
+
+
+def default_wd_mask(params) -> "jax.tree_util.PyTreeDef":
+    """True = apply weight decay. Skips biases, norm scales, embeddings,
+    cls/pos tokens — the union of the reference models' no_weight_decay lists
+    (nets/wrn/wrn.py:152-157, nets/vit/vit.py:285-320)."""
+
+    def keep(path, leaf):
+        names = [n.lower() for n in _path_names(path)]
+        leafname = names[-1] if names else ""
+        if leafname in ("bias", "scale"):
+            return False
+        if leafname in ("embedding", "cls_token", "pos_embed", "cls", "mask_token"):
+            return False
+        if any(("norm" in n) or n.startswith("bn") or n.endswith("_bn") for n in names[:-1]):
+            return False
+        return jnp.ndim(leaf) > 1 if hasattr(leaf, "ndim") else True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def layer_decay_scales(params, layer_decay: float,
+                       layer_id_fn: Callable[[list, int], int],
+                       num_layers: int):
+    """Per-leaf LR scale tree: scale = layer_decay ** (num_layers + 1 - layer_id),
+    with the same exponent convention as the reference param_groups_layer_decay
+    (timm/BEiT: head gets scale 1, embeddings get the deepest decay)."""
+
+    def scale(path, leaf):
+        names = _path_names(path)
+        lid = layer_id_fn(names, num_layers)
+        return layer_decay ** (num_layers + 1 - lid)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def scale_by_tree(scales) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree_util.tree_map(lambda u, s: u * s, updates, scales)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(
+    params,
+    optim_name: str = "SGD",
+    lr: float = 0.03,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    layer_decay: float = 1.0,
+    nesterov: bool = True,
+    num_training_steps: int = 1,
+    num_warmup_steps: int = 0,
+    clip_grad: float = 0.0,
+    layer_id_fn: Optional[Callable] = None,
+    num_layers: int = 0,
+    schedule: Optional[optax.Schedule] = None,
+) -> optax.GradientTransformation:
+    """One transformation fusing {grad clip, weight decay, momentum/adam,
+    layer-decay scaling, cosine schedule}. The reference splits these across
+    GradScaler/optimizer/scheduler objects stepped by ParamUpdateHook
+    (core/hooks/param_update.py:15-45); here they run inside the jitted step.
+    """
+    if schedule is None:
+        schedule = cosine_schedule_with_warmup(
+            lr, num_training_steps, num_warmup_steps
+        )
+    wd_mask = default_wd_mask(params)
+
+    chain = []
+    if clip_grad and clip_grad > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+
+    if optim_name.lower() == "sgd":
+        # torch.optim.SGD applies wd to the grad before the momentum buffer.
+        if weight_decay:
+            chain.append(optax.masked(optax.add_decayed_weights(weight_decay), wd_mask))
+        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+    elif optim_name.lower() == "adamw":
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if weight_decay:
+            chain.append(optax.masked(optax.add_decayed_weights(weight_decay), wd_mask))
+    elif optim_name.lower() == "adam":
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    else:
+        raise ValueError(f"unknown optimizer {optim_name}")
+
+    if layer_decay != 1.0 and layer_id_fn is not None:
+        scales = layer_decay_scales(params, layer_decay, layer_id_fn, num_layers)
+        chain.append(scale_by_tree(scales))
+
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
+
+
+def build_adam(lr: float) -> optax.GradientTransformation:
+    """Plain Adam for SemiReward's rewarder/generator
+    (reference srflexmatch.py:54-55: torch.optim.Adam(lr=sr_lr))."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)

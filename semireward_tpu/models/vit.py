@@ -1,0 +1,247 @@
+"""Vision Transformer in flax.linen.
+
+TPU-native rebuild of reference semilearn/nets/vit/vit.py:13-408 (timm-style
+ViT: patch-embed conv, cls token, learned pos-embed, pre-norm blocks,
+stochastic depth, token pooling, {'logits','feat'} contract).
+
+TPU notes:
+- attention is a fused einsum chain in ``dtype`` (bf16) — at USB sequence
+  lengths (257 tokens for 32px/patch2, 197 for 224px/patch16) XLA fuses this
+  onto the MXU without a custom kernel; a Pallas flash-attention path can be
+  swapped in via ``semireward_tpu.ops.attention`` for long-seq configs.
+- params stay float32; LayerNorm accumulates in float32.
+- init matches the reference module defaults: zero pos_embed/cls_token (the
+  reference applies *no* custom init — torch module defaults), so pretrained
+  import is bit-compatible.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semireward_tpu.models.initializers import torch_kernel_init as torch_default_init
+from semireward_tpu.models.initializers import torch_bias_init
+
+
+def _drop_path(x, rate: float, deterministic: bool, rng):
+    """Stochastic depth per sample (timm DropPath)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        dense = lambda f, name: nn.Dense(
+            f, kernel_init=torch_default_init, bias_init=torch_bias_init,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        x = dense(self.hidden, "fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = dense(self.out, "fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Reference vit.py:78-107 — vanilla softmax attention."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                       kernel_init=torch_default_init,
+                       bias_init=torch_bias_init,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, N, C).astype(self.dtype)
+        out = nn.Dense(C, kernel_init=torch_default_init,
+                       bias_init=torch_bias_init, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
+                      self.drop, dtype=self.dtype, name="attn")(
+            ln("norm1")(x).astype(self.dtype), train)
+        if self.init_values:
+            gamma1 = self.param("ls1", nn.initializers.constant(self.init_values),
+                                (self.dim,), jnp.float32)
+            h = h * gamma1
+        rng = self.make_rng("dropout") if (train and self.drop_path > 0) else None
+        x = x + _drop_path(h.astype(x.dtype), self.drop_path, not train, rng)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                dtype=self.dtype, name="mlp")(
+            ln("norm2")(x).astype(self.dtype), train)
+        if self.init_values:
+            gamma2 = self.param("ls2", nn.initializers.constant(self.init_values),
+                                (self.dim,), jnp.float32)
+            h = h * gamma2
+        rng = self.make_rng("dropout") if (train and self.drop_path > 0) else None
+        x = x + _drop_path(h.astype(x.dtype), self.drop_path, not train, rng)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """Reference vit.py:169-320. Input NHWC float."""
+
+    num_classes: int
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    global_pool: str = "token"
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, only_fc: bool = False,
+                 only_feat: bool = False):
+        head = nn.Dense(self.num_classes, kernel_init=torch_default_init,
+                        bias_init=torch_bias_init, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="head")
+        if only_fc:
+            return head(x)
+
+        B = x.shape[0]
+        p = self.patch_size
+        grid = self.img_size // p
+        num_patches = grid * grid
+
+        # patch embed: conv stride=patch (reference vit.py:33-44)
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    kernel_init=torch_default_init, bias_init=torch_bias_init,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(x.astype(self.dtype))
+        x = x.reshape(B, num_patches, self.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param("pos_embed", nn.initializers.zeros,
+                               (1, num_patches + 1, self.embed_dim), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, self.embed_dim)), x],
+            axis=1)
+        x = x + pos_embed.astype(self.dtype)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+
+        dpr = [float(r) for r in
+               jnp.linspace(0.0, self.drop_path_rate, self.depth)]
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                      self.qkv_bias, self.drop_rate, self.attn_drop_rate,
+                      dpr[i], self.init_values, dtype=self.dtype,
+                      name=f"blocks{i}")(x, train)
+
+        use_fc_norm = self.global_pool == "avg"
+        if not use_fc_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="norm")(x)
+        if self.global_pool:
+            x = x[:, 1:].mean(axis=1) if self.global_pool == "avg" else x[:, 0]
+        if use_fc_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="fc_norm")(x)
+        feat = x.astype(jnp.float32)
+        if only_feat:
+            return feat
+        return {"logits": head(feat), "feat": feat}
+
+
+def _layer_id(names: Sequence[str], num_layers: int) -> int:
+    """group_matcher equivalent (reference vit.py:307-317): embeds = layer 0,
+    block i = layer i+1, norm/head = last."""
+    if not names:
+        return num_layers
+    head = names[0]
+    if head in ("cls_token", "pos_embed", "patch_embed"):
+        return 0
+    if head.startswith("blocks"):
+        return int(head[len("blocks"):]) + 1
+    return num_layers
+
+
+def _builder(name, **cfg):
+    def build(num_classes: int, dtype=jnp.bfloat16, **kw) -> VisionTransformer:
+        merged = dict(cfg)
+        merged.update({k: v for k, v in kw.items() if k in VisionTransformer.__annotations__})
+        return VisionTransformer(num_classes=num_classes, dtype=dtype, **merged)
+
+    build.__name__ = name
+    build.layer_id_fn = _layer_id
+    build.num_layers = cfg.get("depth", 12) + 1
+    return build
+
+
+# reference vit.py:323-408
+vit_tiny_patch2_32 = _builder("vit_tiny_patch2_32", img_size=32, patch_size=2,
+                              embed_dim=192, depth=12, num_heads=3,
+                              drop_path_rate=0.1)
+vit_small_patch2_32 = _builder("vit_small_patch2_32", img_size=32, patch_size=2,
+                               embed_dim=384, depth=12, num_heads=6,
+                               drop_path_rate=0.2)
+vit_small_patch16_224 = _builder("vit_small_patch16_224", img_size=224,
+                                 patch_size=16, embed_dim=384, depth=12,
+                                 num_heads=6, drop_path_rate=0.2)
+vit_base_patch16_96 = _builder("vit_base_patch16_96", img_size=96,
+                               patch_size=16, embed_dim=768, depth=12,
+                               num_heads=12, drop_path_rate=0.2)
+vit_base_patch16_224 = _builder("vit_base_patch16_224", img_size=224,
+                                patch_size=16, embed_dim=768, depth=12,
+                                num_heads=12, drop_path_rate=0.2)
