@@ -60,6 +60,12 @@ class Algorithm:
         self.cfg = cfg
         self.data_info = data_info or {}
 
+    # ---- model ------------------------------------------------------------
+    def wrap_model(self, model):
+        """Hook for algorithms that add heads (reference set_model overrides,
+        e.g. remixmatch.py:102-106). Default: identity."""
+        return model
+
     # ---- state -----------------------------------------------------------
     def init_state(self):
         return ()

@@ -24,12 +24,14 @@ from semireward_tpu.utils import prng
 
 def init_train_state(cfg, alg: Algorithm, model, rng,
                      sample_input: jnp.ndarray,
-                     tx: Optional[optax.GradientTransformation] = None
+                     tx: Optional[optax.GradientTransformation] = None,
+                     builder=None
                      ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Initialize params/EMA/optimizer/algo/SR state.
 
     ``sample_input``: one input example batch (shape/dtype only) for
-    model.init.
+    model.init. ``builder`` (optional): the net-builder function, consulted
+    for layer-decay grouping metadata (layer_id_fn / num_layers).
     """
     k_init, k_sr, k_run = jax.random.split(rng, 3)
     variables = model.init({"params": k_init, "dropout": k_init},
@@ -38,7 +40,6 @@ def init_train_state(cfg, alg: Algorithm, model, rng,
     batch_stats = variables.get("batch_stats", {})
 
     if tx is None:
-        builder = getattr(model, "__builder__", None)
         layer_id_fn = getattr(builder, "layer_id_fn", None)
         num_layers = getattr(builder, "num_layers", 0)
         tx = optim_lib.build_optimizer(

@@ -1,0 +1,242 @@
+"""Host-side training driver.
+
+What survives of the reference's hook pipeline after the per-step work moved
+into one jitted function: the periodic host actions — evaluation
+(EvaluationHook), checkpoint latest/best (CheckpointHook), logging
+(LoggingHook/TimerHook), LR reporting — on the same cadences
+(num_eval_iter / num_log_iter, core/hooks/*.py). Doubles as the "lighting"
+Trainer (reference semilearn/lighting/trainer.py:173-257): fit / evaluate /
+predict.
+
+Performance notes:
+- augmentation + train step compile into ONE program; the TrainState is
+  donated, so params/opt/EMA update in place in HBM.
+- metrics are fetched only at log boundaries — zero `.item()`-style syncs in
+  the hot loop (SURVEY §3 hotspot: the reference syncs 4+ scalars/step).
+- the input pipeline double-buffers: batch k+1 is device_put while step k runs.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semireward_tpu.config import Config
+from semireward_tpu.registry import ALGORITHMS, NETS
+from semireward_tpu.core import checkpoint as ckpt
+from semireward_tpu.core import metrics as M
+from semireward_tpu.core.optim import cosine_schedule_with_warmup
+from semireward_tpu.core.step import init_train_state, make_train_step, make_eval_step
+from semireward_tpu.data.augment import AugmentSpec, augment_views, normalize
+from semireward_tpu.data.datasets import get_dataset, SSLDataBundle
+from semireward_tpu.data.loader import SSLLoader, eval_batches
+from semireward_tpu.parallel import mesh as mesh_lib
+from semireward_tpu.utils import prng
+from semireward_tpu.utils.logging import get_logger
+
+
+def _model_dtype(cfg: Config):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[cfg.compute_dtype]
+
+
+class Trainer:
+    """End-to-end trainer. ``Trainer(cfg).train()`` is the CLI path;
+    fit/evaluate/predict mirror the lighting API."""
+
+    def __init__(self, cfg: Config, bundle: Optional[SSLDataBundle] = None,
+                 use_mesh: bool = True, logger=None):
+        self.cfg = cfg
+        self.logger = logger or get_logger(cfg.save_name)
+        self.bundle = bundle if bundle is not None else get_dataset(cfg, cfg.algorithm)
+        data_info = {"ulb_dest_len": self.bundle.ulb_dest_len,
+                     "lb_dest_len": self.bundle.lb_dest_len}
+        if not cfg.is_regression:
+            counts = np.bincount(
+                np.asarray(self.bundle.train_lb.targets, np.int64),
+                minlength=cfg.num_classes).astype(np.float64)
+            data_info["lb_class_dist"] = counts / max(counts.sum(), 1)
+
+        builder = NETS.get(cfg.net)
+        self.model = builder(num_classes=cfg.num_classes,
+                             dtype=_model_dtype(cfg), img_size=cfg.img_size)
+        self.net_builder = builder  # carries layer-decay grouping metadata
+
+        alg_cls = ALGORITHMS.get(cfg.algorithm)
+        self.alg = alg_cls(cfg, data_info)
+        self.model = self.alg.wrap_model(self.model)
+
+        self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
+        self.aug_spec = AugmentSpec(
+            crop_size=cfg.img_size,
+            crop_pad=int(cfg.img_size * (1 - cfg.crop_ratio)),
+            mean=self.bundle.mean, std=self.bundle.std,
+            randaug_n=3,
+        )
+
+        rng = prng.root_key(cfg.seed)
+        sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        self.state, self.tx = init_train_state(cfg, self.alg, self.model, rng,
+                                               sample, builder=builder)
+        self._raw_step = make_train_step(cfg, self.alg, self.model, self.tx)
+        self._schedule = cosine_schedule_with_warmup(
+            cfg.lr, cfg.num_train_iter, cfg.num_warmup_iter)
+
+        spec = self.aug_spec
+        batch_keys = self.alg.BATCH_KEYS
+
+        def full_step(state, raw):
+            arng = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step), 7919)
+            views = augment_views(arng, raw["x_lb"], raw["x_ulb"], spec,
+                                  [k for k in batch_keys if k.startswith("x_")])
+            batch = dict(views)
+            for k in ("y_lb", "idx_lb", "idx_ulb"):
+                if k in raw:
+                    batch[k] = raw[k]
+            return self._raw_step(state, batch)
+
+        donate = (0,) if cfg.donate_state else ()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            datash = NamedSharding(self.mesh, P("data"))
+            self.state = jax.device_put(self.state, rep)
+            self._jit_step = jax.jit(
+                full_step, donate_argnums=donate,
+                in_shardings=(rep, datash), out_shardings=(rep, rep))
+            self._batch_sharding = datash
+        else:
+            self._jit_step = jax.jit(full_step, donate_argnums=donate)
+            self._batch_sharding = None
+
+        eval_step = make_eval_step(self.model)
+
+        def eval_fwd(state, x):
+            x = normalize(x, spec.mean, spec.std)
+            return eval_step(state, x)
+
+        self._jit_eval = jax.jit(eval_fwd)
+
+        self.best_metric = -math.inf
+        self.best_it = 0
+        self._save_dir = os.path.join(cfg.save_dir, cfg.save_name)
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, raw: Dict[str, np.ndarray]):
+        if self._batch_sharding is not None:
+            return {k: jax.device_put(v, self._batch_sharding)
+                    for k, v in raw.items()}
+        return raw
+
+    def train(self, num_iters: Optional[int] = None,
+              eval_hook: Optional[Callable] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        num_iters = num_iters or cfg.num_train_iter
+        loader = SSLLoader(self.bundle, cfg.batch_size, cfg.ulb_batch_size,
+                           seed=cfg.seed)
+        log = self.logger.info
+        results: Dict[str, float] = {}
+        metrics_acc = None
+        t0 = time.time()
+        prefetched = self._put_batch(next(loader))
+        start_it = int(self.state.step)
+        for it in range(start_it, num_iters):
+            raw = prefetched
+            self.state, metrics = self._jit_step(self.state, raw)
+            prefetched = self._put_batch(next(loader))  # overlap with step
+            metrics_acc = metrics  # async device values; fetched on log only
+
+            step_now = it + 1
+            if step_now % cfg.num_log_iter == 0:
+                fetched = {}
+                for k, v in metrics_acc.items():
+                    if jnp.ndim(v) == 0:
+                        fv = float(v)
+                        if math.isfinite(fv):
+                            fetched[k] = fv
+                dt = time.time() - t0
+                sps = cfg.num_log_iter / dt if it > start_it else 0.0
+                lr = float(self._schedule(step_now))
+                log(f"it {step_now}/{num_iters} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
+                    + f" lr={lr:.2e} steps/s={sps:.2f}")
+                t0 = time.time()
+
+            if step_now % cfg.num_eval_iter == 0 or step_now == num_iters:
+                eval_m = self.evaluate()
+                key = "top-1-acc" if not cfg.is_regression else "mse"
+                score = eval_m[key] if not cfg.is_regression else -eval_m[key]
+                if score > self.best_metric:
+                    self.best_metric = score
+                    self.best_it = step_now
+                    ckpt.save_checkpoint(
+                        os.path.join(self._save_dir, "model_best.ckpt"),
+                        self.state, {"it": step_now, "eval": eval_m})
+                ckpt.save_checkpoint(
+                    os.path.join(self._save_dir, "latest_model.ckpt"),
+                    self.state, {"it": step_now, "eval": eval_m})
+                log(f"eval @ {step_now}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
+                    + f" (best {self.best_metric:.4f} @ {self.best_it})")
+                results = {f"eval/{k}": v for k, v in eval_m.items()}
+                results["eval/best_acc"] = self.best_metric
+                results["eval/best_it"] = self.best_it
+                if eval_hook:
+                    eval_hook(step_now, eval_m)
+                t0 = time.time()
+        return results
+
+    # lighting-compatible alias (reference lighting/trainer.py:188)
+    def fit(self, *a, **kw):
+        return self.train(*a, **kw)
+
+    def evaluate(self, split: str = "eval") -> Dict[str, float]:
+        ds = self.bundle.eval
+        preds, trues, logits_all = [], [], []
+        for b in eval_batches(ds, self.cfg.eval_batch_size):
+            logits = np.asarray(self._jit_eval(self.state, b["x"]))
+            logits = logits[b["mask"]]
+            y = b["y"][b["mask"]]
+            preds.append(logits.argmax(-1))
+            trues.append(y)
+            logits_all.append(logits)
+        y_pred = np.concatenate(preds)
+        y_true = np.concatenate(trues)
+        y_logits = np.concatenate(logits_all)
+        if self.cfg.is_regression:
+            return M.regression_metrics(y_true, y_logits[:, 0])
+        out = M.classification_metrics(y_true, y_pred, self.cfg.num_classes,
+                                       y_logits)
+        # eval CE loss like the reference (algorithmbase.py:406-409)
+        lp = y_logits - y_logits.max(-1, keepdims=True)
+        lse = np.log(np.exp(lp).sum(-1))
+        out["loss"] = float((lse - lp[np.arange(len(y_true)), y_true]).mean())
+        return out
+
+    def predict(self, x: np.ndarray, batch_size: Optional[int] = None
+                ) -> np.ndarray:
+        bs = batch_size or self.cfg.eval_batch_size
+        outs = []
+        for s in range(0, len(x), bs):
+            xb = x[s:s + bs]
+            pad = bs - len(xb)
+            if pad:
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+            logits = np.asarray(self._jit_eval(self.state, xb))
+            outs.append(logits[: bs - pad if pad else bs])
+        return np.concatenate(outs)
+
+    # ------------------------------------------------------------------
+    def load(self, path: str):
+        self.state, extra = ckpt.load_checkpoint(path, self.state)
+        self.logger.info(f"resumed from {path} at it={extra.get('it')}")
+        return extra
+
+    def save(self, path: str):
+        ckpt.save_checkpoint(path, self.state, {"it": int(self.state.step)})

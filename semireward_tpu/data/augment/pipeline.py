@@ -1,0 +1,151 @@
+"""Batched on-device augmentation pipelines.
+
+Rebuild of the reference's per-sample PIL pipelines
+(semilearn/datasets/cv_datasets/cifar.py:34-50, augmentation/randaugment.py:
+186-203) as vmapped JAX functions running inside the jitted train step:
+
+- weak  = reflect-pad random crop + horizontal flip
+- strong = weak + RandAugment(n=3, continuous magnitudes) + Cutout(<=0.5)
+- eval  = plain normalize
+
+Per-sample op selection uses ``lax.switch`` under vmap; XLA evaluates the
+(cheap, elementwise/affine) branches and selects — at 32-224px this is noise
+next to the backbone, and it removes the host PIL bottleneck entirely.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semireward_tpu.data.augment import ops
+
+
+class AugmentSpec(NamedTuple):
+    crop_size: int
+    crop_pad: int                  # int(crop_size * (1 - crop_ratio))
+    mean: Tuple[float, float, float]
+    std: Tuple[float, float, float]
+    randaug_n: int = 3
+    exclude_color: bool = False    # RandAugment no-color variant
+    hflip: bool = True
+
+
+# (op, min_val, max_val) — reference augment_list() randaugment.py:146-162
+_FULL_OPS = [
+    (ops.autocontrast, 0.0, 1.0),
+    (ops.brightness, 0.05, 0.95),
+    (ops.color, 0.05, 0.95),
+    (ops.contrast, 0.05, 0.95),
+    (ops.equalize, 0.0, 1.0),
+    (ops.identity, 0.0, 1.0),
+    (ops.posterize, 4.0, 8.0),
+    (ops.rotate, -30.0, 30.0),
+    (ops.sharpness, 0.05, 0.95),
+    (ops.shear_x, -0.3, 0.3),
+    (ops.shear_y, -0.3, 0.3),
+    (ops.solarize, 0.0, 256.0),
+    (ops.translate_x, -0.3, 0.3),
+    (ops.translate_y, -0.3, 0.3),
+]
+# reference augment_list_no_color() randaugment.py:164-182
+_NO_COLOR_OPS = [
+    (ops.brightness, 0.05, 0.95),
+    (ops.equalize, 0.0, 1.0),
+    (ops.identity, 0.0, 1.0),
+    (ops.rotate, -30.0, 30.0),
+    (ops.sharpness, 0.05, 0.95),
+    (ops.shear_x, -0.3, 0.3),
+    (ops.shear_y, -0.3, 0.3),
+    (ops.translate_x, -0.3, 0.3),
+    (ops.translate_y, -0.3, 0.3),
+]
+
+
+def _randaugment_single(rng, img, n: int, exclude_color: bool):
+    table = _NO_COLOR_OPS if exclude_color else _FULL_OPS
+    branches = [op for op, _, _ in table]
+    lo = jnp.array([l for _, l, _ in table], jnp.float32)
+    hi = jnp.array([h for _, _, h in table], jnp.float32)
+    k = len(table)
+
+    for i in range(n):
+        rng, kop, kval = jax.random.split(rng, 3)
+        idx = jax.random.randint(kop, (), 0, k)
+        v = lo[idx] + (hi[idx] - lo[idx]) * jax.random.uniform(kval, ())
+        img = jax.lax.switch(idx, branches, img, v)
+    rng, kcv, kcut = jax.random.split(rng, 3)
+    cut_v = jax.random.uniform(kcv, ()) * 0.5 * img.shape[1]
+    img = ops.cutout_abs(img, cut_v, kcut)
+    return img
+
+
+def _crop_flip_single(rng, img, pad: int, hflip: bool):
+    kx, ky, kf = jax.random.split(rng, 3)
+    if pad > 0:
+        img = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        H = img.shape[0] - 2 * pad + 0  # crop back to original size
+        oy = jax.random.randint(ky, (), 0, 2 * pad + 1)
+        ox = jax.random.randint(kx, (), 0, 2 * pad + 1)
+        img = jax.lax.dynamic_slice(
+            img, (oy, ox, 0), (H, img.shape[1] - 2 * pad, img.shape[2]))
+    if hflip:
+        flip = jax.random.bernoulli(kf, 0.5)
+        img = jnp.where(flip, img[:, ::-1, :], img)
+    return img
+
+
+def normalize(x, mean: Sequence[float], std: Sequence[float]):
+    """ToTensor + Normalize: /255 then (x-mean)/std, NHWC float32."""
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    return (x.astype(jnp.float32) / 255.0 - m) / s
+
+
+def weak_augment(rng, batch, spec: AugmentSpec):
+    """[B,H,W,C] uint8/float -> normalized float32."""
+    x = batch.astype(jnp.float32)
+    keys = jax.random.split(rng, x.shape[0])
+    x = jax.vmap(lambda k, im: _crop_flip_single(k, im, spec.crop_pad,
+                                                 spec.hflip))(keys, x)
+    return normalize(x, spec.mean, spec.std)
+
+
+def randaugment(rng, batch, spec: AugmentSpec):
+    """Strong view: crop/flip + RandAugment + Cutout, normalized."""
+    x = batch.astype(jnp.float32)
+    k1, k2 = jax.random.split(rng)
+    keys1 = jax.random.split(k1, x.shape[0])
+    x = jax.vmap(lambda k, im: _crop_flip_single(k, im, spec.crop_pad,
+                                                 spec.hflip))(keys1, x)
+    keys2 = jax.random.split(k2, x.shape[0])
+    x = jax.vmap(lambda k, im: _randaugment_single(
+        k, im, spec.randaug_n, spec.exclude_color))(keys2, x)
+    return normalize(x, spec.mean, spec.std)
+
+
+def augment_views(rng, raw_lb, raw_ulb, spec: AugmentSpec,
+                  keys: Sequence[str]):
+    """Produce the view dict an algorithm's BATCH_KEYS asks for, from raw
+    uint8 batches. Mirrors the per-algorithm __getitem__ contract of the
+    reference BasicDataset (cv_datasets/datasetbase.py:15-115)."""
+    out = {}
+    n_needed = len(keys) + 2
+    ks = list(jax.random.split(rng, n_needed))
+
+    def take():
+        return ks.pop()
+
+    for key in keys:
+        if key == "x_lb":
+            out[key] = weak_augment(take(), raw_lb, spec)
+        elif key == "x_lb_s":
+            out[key] = randaugment(take(), raw_lb, spec)
+        elif key == "x_ulb_w":
+            out[key] = weak_augment(take(), raw_ulb, spec)
+        elif key in ("x_ulb_s", "x_ulb_s_0", "x_ulb_s_1"):
+            out[key] = randaugment(take(), raw_ulb, spec)
+        elif key == "x_ulb_w_2":
+            out[key] = weak_augment(take(), raw_ulb, spec)
+    return out

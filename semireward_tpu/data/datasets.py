@@ -1,0 +1,165 @@
+"""Dataset factories (CV, round 1: CIFAR/SVHN/STL-10 from local files +
+synthetic for tests/bench).
+
+Rebuild of reference semilearn/datasets/cv_datasets/*: the reference decodes
++ PIL-augments per sample in dataloader workers; here a dataset is raw
+uint8 arrays in host RAM — augmentation runs on device (data/augment). In a
+zero-egress environment torchvision downloads are impossible, so loaders
+read pre-downloaded torchvision file layouts and fall back loudly.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from semireward_tpu.registry import DATASETS
+from semireward_tpu.data.split import split_ssl_data
+
+# per-dataset normalization constants (reference cifar.py:16-21, svhn.py,
+# stl10.py)
+MEAN = {
+    "cifar10": (0.485, 0.456, 0.406),
+    "cifar100": tuple(x / 255 for x in (129.3, 124.1, 112.4)),
+    "svhn": (0.4380, 0.4440, 0.4730),
+    "stl10": (112.4 / 255, 109.1 / 255, 98.6 / 255),
+    "synthetic": (0.5, 0.5, 0.5),
+}
+STD = {
+    "cifar10": (0.229, 0.224, 0.225),
+    "cifar100": tuple(x / 255 for x in (68.2, 65.4, 70.4)),
+    "svhn": (0.1751, 0.1771, 0.1744),
+    "stl10": (68.4 / 255, 66.6 / 255, 68.5 / 255),
+    "synthetic": (0.25, 0.25, 0.25),
+}
+
+
+@dataclass
+class ArrayDataset:
+    """Raw array dataset: images uint8 [N,H,W,C], integer (or float) targets."""
+
+    data: np.ndarray
+    targets: np.ndarray
+
+    def __len__(self):
+        return len(self.data)
+
+
+@dataclass
+class SSLDataBundle:
+    train_lb: ArrayDataset
+    train_ulb: ArrayDataset
+    eval: ArrayDataset
+    num_classes: int
+    mean: Tuple[float, float, float]
+    std: Tuple[float, float, float]
+
+    @property
+    def ulb_dest_len(self) -> int:
+        return len(self.train_ulb)
+
+    @property
+    def lb_dest_len(self) -> int:
+        return len(self.train_lb)
+
+
+def _load_cifar10(data_dir: str):
+    base = os.path.join(data_dir, "cifar10", "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = os.path.join(data_dir, "cifar-10-batches-py")
+    xs, ys = [], []
+    for name in [f"data_batch_{i}" for i in range(1, 6)]:
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="latin1")
+        xs.append(d["data"])
+        ys.extend(d["labels"])
+    train = (np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1),
+             np.asarray(ys, np.int64))
+    with open(os.path.join(base, "test_batch"), "rb") as f:
+        d = pickle.load(f, encoding="latin1")
+    test = (np.asarray(d["data"]).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1),
+            np.asarray(d["labels"], np.int64))
+    return train, test
+
+
+def _load_cifar100(data_dir: str):
+    base = os.path.join(data_dir, "cifar100", "cifar-100-python")
+    if not os.path.isdir(base):
+        base = os.path.join(data_dir, "cifar-100-python")
+    out = []
+    for name in ("train", "test"):
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="latin1")
+        out.append((np.asarray(d["data"]).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1),
+                    np.asarray(d["fine_labels"], np.int64)))
+    return out[0], out[1]
+
+
+def make_synthetic(num_classes: int, img_size: int, n_train: int = 512,
+                   n_test: int = 128, seed: int = 0):
+    """Class-conditional gaussian-blob images — deterministic, learnable,
+    no files needed. Used by tests and the throughput benchmark."""
+    rs = np.random.RandomState(seed)
+
+    def gen(n):
+        y = rs.randint(0, num_classes, n)
+        base = rs.randint(0, 256, (num_classes, img_size, img_size, 3))
+        noise = rs.randint(-40, 40, (n, img_size, img_size, 3))
+        x = np.clip(base[y] + noise, 0, 255).astype(np.uint8)
+        return x, y.astype(np.int64)
+
+    return gen(n_train), gen(n_test)
+
+
+def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
+    """Dataset-name dispatch (reference core/utils/build.py:60-118)."""
+    name = cfg.dataset
+    if name in ("cifar10", "cifar100"):
+        loader = _load_cifar10 if name == "cifar10" else _load_cifar100
+        try:
+            (data, targets), (tdata, ttargets) = loader(cfg.data_dir)
+        except (FileNotFoundError, OSError) as e:
+            raise FileNotFoundError(
+                f"{name} not found under {cfg.data_dir} (no network in this "
+                f"environment — place the torchvision-extracted files there, "
+                f"or use dataset='synthetic')") from e
+        mean, std = MEAN[name], STD[name]
+        num_classes = 10 if name == "cifar10" else 100
+    elif name == "synthetic":
+        n_train = int(cfg.extra.get("synthetic_train", 2048))
+        n_test = int(cfg.extra.get("synthetic_test", 256))
+        (data, targets), (tdata, ttargets) = make_synthetic(
+            cfg.num_classes, cfg.img_size, n_train, n_test, seed=cfg.seed)
+        mean, std = MEAN["synthetic"], STD["synthetic"]
+        num_classes = cfg.num_classes
+    else:
+        raise KeyError(
+            f"dataset '{name}' is not wired yet in the TPU build; available: "
+            f"cifar10, cifar100, synthetic")
+
+    rng = np.random.RandomState(cfg.seed)
+    dump_dir = os.path.join(cfg.data_dir, "data_statistics", name, "labeled_idx")
+    lb_data, lb_targets, ulb_data, ulb_targets = split_ssl_data(
+        data, targets, num_classes, cfg.num_labels,
+        ulb_num_labels=cfg.ulb_num_labels,
+        lb_imbalance_ratio=cfg.lb_imb_ratio,
+        ulb_imbalance_ratio=cfg.ulb_imb_ratio,
+        include_lb_to_ulb=cfg.include_lb_to_ulb,
+        rng=rng,
+        dump_dir=dump_dir if name != "synthetic" else None,
+        dump_tag=f"labels{cfg.num_labels}_{cfg.lb_imb_ratio}_seed{cfg.seed}")
+
+    if alg == "fullysupervised":
+        lb_data, lb_targets = data, targets
+
+    return SSLDataBundle(
+        train_lb=ArrayDataset(lb_data, lb_targets),
+        train_ulb=ArrayDataset(ulb_data, ulb_targets),
+        eval=ArrayDataset(tdata, ttargets),
+        num_classes=num_classes, mean=mean, std=std)
+
+
+DATASETS.register(get_dataset, name="cv")

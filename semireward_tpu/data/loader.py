@@ -1,0 +1,87 @@
+"""Host-side batching: infinite seeded samplers feeding raw arrays.
+
+Rebuild of the reference's infinite-style DistributedSampler
+(semilearn/datasets/samplers/sampler.py:16-150): indices come from repeated
+seeded permutations sized to exactly ``num_iters * batch_size`` draws. On
+TPU there is one host process per slice host; sharding across devices
+happens at jit time (batch sharded on the 'data' mesh axis), so the sampler
+needs no rank striding — but accepts (rank, world) for multi-host feeding.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from semireward_tpu.data.datasets import ArrayDataset, SSLDataBundle
+
+
+def infinite_indices(n: int, seed: int, rank: int = 0, world: int = 1
+                     ) -> Iterator[int]:
+    """Repeated seeded randperm, strided by rank (sampler.py:59-77)."""
+    g = np.random.RandomState(seed)
+    while True:
+        perm = g.permutation(n)
+        for i in range(rank, n - (n % world or 0) if world > 1 else n, world):
+            yield perm[i]
+
+
+def batched(it: Iterator[int], batch_size: int) -> Iterator[np.ndarray]:
+    buf = []
+    for i in it:
+        buf.append(i)
+        if len(buf) == batch_size:
+            yield np.asarray(buf)
+            buf = []
+
+
+class SSLLoader:
+    """Yields raw (undecoded, unaugmented) SSL batches:
+    {x_lb, y_lb, idx_lb, x_ulb, y_ulb, idx_ulb} as numpy arrays. Device-side
+    augmentation turns x_ulb into the weak/strong views inside jit."""
+
+    def __init__(self, bundle: SSLDataBundle, batch_size: int,
+                 ulb_batch_size: int, seed: int = 0, rank: int = 0,
+                 world: int = 1):
+        self.bundle = bundle
+        self.batch_size = batch_size
+        self.ulb_batch_size = ulb_batch_size
+        self._lb = batched(
+            infinite_indices(len(bundle.train_lb), seed, rank, world),
+            batch_size)
+        self._ulb = batched(
+            infinite_indices(len(bundle.train_ulb), seed + 1, rank, world),
+            ulb_batch_size)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        lb_idx = next(self._lb)
+        ulb_idx = next(self._ulb)
+        lb, ulb = self.bundle.train_lb, self.bundle.train_ulb
+        return {
+            "x_lb": lb.data[lb_idx],
+            "y_lb": lb.targets[lb_idx],
+            "idx_lb": lb_idx.astype(np.int32),
+            "x_ulb": ulb.data[ulb_idx],
+            "y_ulb": ulb.targets[ulb_idx],
+            "idx_ulb": ulb_idx.astype(np.int32),
+        }
+
+
+def eval_batches(ds: ArrayDataset, batch_size: int):
+    """Fixed-shape eval batches; last batch padded, with a validity mask so
+    jit sees one shape."""
+    n = len(ds)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        x = ds.data[start:stop]
+        y = ds.targets[start:stop]
+        pad = batch_size - (stop - start)
+        mask = np.ones(batch_size, bool)
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
+            mask[stop - start:] = False
+        yield {"x": x, "y": y, "mask": mask}

@@ -181,8 +181,9 @@ class VisionTransformer(nn.Module):
         x = x + pos_embed.astype(self.dtype)
         x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
 
-        dpr = [float(r) for r in
-               jnp.linspace(0.0, self.drop_path_rate, self.depth)]
+        # stochastic-depth decay rule (static python floats, jit-safe)
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+               for i in range(self.depth)]
         for i in range(self.depth):
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                       self.qkv_bias, self.drop_rate, self.attn_drop_rate,

@@ -1,0 +1,84 @@
+"""Model zoo contract tests (reference nets/__init__.py:4-10 forward
+contract; wrn.py:118-157; vit.py:253-320)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semireward_tpu.registry import NETS
+import semireward_tpu  # noqa: F401
+
+
+def _init(model, shape):
+    x = jnp.zeros(shape, jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    return v, x
+
+
+def _nparams(params):
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+
+
+class TestWRN:
+    def test_contract_and_param_count(self):
+        model = NETS.get("wrn_28_2")(num_classes=10, dtype=jnp.float32)
+        v, x = _init(model, (2, 32, 32, 3))
+        # torch reference wrn_28_2(num_classes=10): 1,467,626 params
+        # (verified against /root/reference/semilearn/nets/wrn/wrn.py)
+        assert _nparams(v["params"]) == 1467626
+        out = model.apply(v, x, train=False)
+        assert out["logits"].shape == (2, 10)
+        assert out["feat"].shape == (2, 128)
+        feat = model.apply(v, x, train=False, only_feat=True)
+        np.testing.assert_allclose(np.asarray(feat), np.asarray(out["feat"]),
+                                   rtol=1e-5)
+        logits = model.apply(v, feat, only_fc=True)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(out["logits"]), rtol=1e-5)
+
+    def test_bn_stats_update_in_train(self, rs):
+        model = NETS.get("wrn_28_2")(num_classes=10, dtype=jnp.float32)
+        v, _ = _init(model, (2, 32, 32, 3))
+        x = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+        out, new_state = model.apply(v, x, train=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": jax.random.PRNGKey(0)})
+        before = jax.tree_util.tree_leaves(v["batch_stats"])
+        after = jax.tree_util.tree_leaves(new_state["batch_stats"])
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after))
+
+    def test_wrn_var(self):
+        model = NETS.get("wrn_var_37_2")(num_classes=10, dtype=jnp.float32)
+        v, x = _init(model, (2, 96, 96, 3))
+        out = model.apply(v, x, train=False)
+        assert out["feat"].shape == (2, 256)
+
+
+class TestViT:
+    def test_tiny_contract(self):
+        model = NETS.get("vit_tiny_patch2_32")(num_classes=100,
+                                               dtype=jnp.float32)
+        v, x = _init(model, (2, 32, 32, 3))
+        out = model.apply(v, x, train=False)
+        assert out["logits"].shape == (2, 100)
+        assert out["feat"].shape == (2, 192)
+
+    def test_small_param_count(self):
+        model = NETS.get("vit_small_patch2_32")(num_classes=100,
+                                                dtype=jnp.float32)
+        v, _ = _init(model, (1, 32, 32, 3))
+        # patch(4992) + cls(384) + pos(98688) + 12*1,774,464 + norm(768)
+        # + head(38500) = 21,436,900, matching the reference architecture
+        assert _nparams(v["params"]) == 21_436_900
+
+    def test_deterministic_eval(self, rs):
+        model = NETS.get("vit_tiny_patch2_32")(num_classes=10,
+                                               dtype=jnp.float32)
+        v, _ = _init(model, (2, 32, 32, 3))
+        x = jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32)
+        a = model.apply(v, x, train=False)["logits"]
+        b = model.apply(v, x, train=False)["logits"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
