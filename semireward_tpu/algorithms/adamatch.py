@@ -29,18 +29,18 @@ class AdaMatch(Algorithm):
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
-        probs_lb = C.compute_prob(jax.lax.stop_gradient(fwd.logits_x_lb))
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        probs_lb = self.compute_prob(jax.lax.stop_gradient(fwd.logits_x_lb))
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
         new_state, probs_w = C.dist_align_ema(
             ctx.algo_state, probs_w, probs_x_lb=probs_lb,
             momentum=cfg.ema_p, update_target=True)
         # relative threshold (adamatch/utils.py:30-33)
         cutoff = probs_lb.max(axis=-1).mean() * cfg.p_cutoff
         mask = (probs_w.max(axis=-1) >= cutoff).astype(jnp.float32)
-        pseudo_label = gen_ulb_targets(probs_w, use_hard_label=cfg.hard_label,
+        pseudo_label = self.gen_ulb_targets(probs_w, use_hard_label=cfg.hard_label,
                                        T=cfg.T, softmax=False)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce",
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce",
                                       mask=mask)
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=new_state, mask=mask,

@@ -55,10 +55,46 @@ class Algorithm:
     # batch keys this algorithm consumes (reference: process_batch filters by
     # train_step signature, algorithmbase.py:282-306)
     BATCH_KEYS: Tuple[str, ...] = ("x_lb", "y_lb", "idx_ulb", "x_ulb_w", "x_ulb_s")
+    # x_ulb_s is a SECOND WEAK view for pimodel/meanteacher/mixmatch
+    # (reference datasetbase.py:99-101)
+    WEAK_ULB_S: bool = False
 
     def __init__(self, cfg, data_info: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
         self.data_info = data_info or {}
+
+    # ---- overridable criterions (the reference's self.ce_loss /
+    # self.consistency_loss, which imbalanced algorithms replace —
+    # e.g. SAW saw/utils.py:60-90, ABC, DebiasPL) ----------------------------
+    def ce_loss(self, logits, targets, reduction="none"):
+        return ce_loss(logits, targets, reduction)
+
+    def consistency_loss(self, logits, targets, name="ce", mask=None,
+                         mask2=None):
+        return consistency_loss(logits, targets, name, mask, mask2)
+
+    def compute_prob(self, logits):
+        """softmax by default; DebiasPL overrides with logit debiasing
+        (reference algorithmbase compute_prob / debiaspl.py:49-54)."""
+        return C.compute_prob(logits)
+
+    def gen_ulb_targets(self, logits, use_hard_label=True, T=1.0,
+                        softmax=True, label_smoothing=0.0):
+        """PseudoLabelingHook equivalent; DASO swaps in dist-aware PL mixing
+        (reference daso/utils.py:86-131)."""
+        return gen_ulb_targets(logits, use_hard_label, T, softmax,
+                               label_smoothing)
+
+    def fixed_mask(self, probs):
+        """FixedThresholdingHook equivalent; ADSH swaps in its adaptive
+        per-class threshold (reference adsh/utils.py:12-21)."""
+        return C.fixed_threshold_mask(probs, self.cfg.p_cutoff)
+
+    def maybe_dist_align(self, probs_x_ulb, probs_x_lb=None):
+        """The conditional "DistAlignHook" call the fixmatch-family steps
+        make (reference fixmatch.py:139-141) — identity unless an imbalanced
+        wrapper (CReST) installs one."""
+        return probs_x_ulb
 
     # ---- model ------------------------------------------------------------
     def wrap_model(self, model):

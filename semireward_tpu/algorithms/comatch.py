@@ -91,10 +91,10 @@ class CoMatch(Algorithm):
         feats_w = jax.lax.stop_gradient(feats[sp[0]:sp[1]])
         feats_s0, feats_s1 = feats[sp[1]:sp[2]], feats[sp[2]:]
 
-        sup_loss = ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
+        sup_loss = self.ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
 
         feats_lb_sg = jax.lax.stop_gradient(feats_x_lb)
-        probs = C.compute_prob(logits_w)
+        probs = self.compute_prob(logits_w)
         da_state, probs = C.dist_align_queue(st.dist_align, probs)
         probs_orig = probs
 
@@ -109,7 +109,7 @@ class CoMatch(Algorithm):
                           * jnp.matmul(A, st.queue_probs))
         probs = jnp.where(warmed, probs_smoothed, probs)
 
-        mask = C.fixed_threshold_mask(probs, cfg.p_cutoff)
+        mask = self.fixed_mask(probs)
 
         # bank update (comatch.py:190-193): [ulb_w feats+orig probs, lb feats+onehot]
         ins_feats = jnp.concatenate([feats_w, feats_lb_sg], 0)
@@ -121,7 +121,7 @@ class CoMatch(Algorithm):
                                           (st.queue_ptr, 0))
         ptr = (st.queue_ptr + ins_feats.shape[0]) % self.queue_size
 
-        unsup_loss = consistency_loss(logits_s0, probs, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(logits_s0, probs, "ce", mask=mask)
 
         # pseudo-label graph with self-loop (comatch.py:201-206)
         Q = jnp.matmul(probs, probs.T)

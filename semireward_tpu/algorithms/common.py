@@ -54,8 +54,11 @@ def ssl_forward(
     reproduces the reference's separate-passes path (BN stats then come from
     each sub-batch alone, and the weak branch runs without gradient).
     """
-    num_lb = x_lb.shape[0]
-    num_ulb = x_ulb_w.shape[0]
+    def batch_dim(x):
+        return jax.tree_util.tree_leaves(x)[0].shape[0]
+
+    num_lb = batch_dim(x_lb)
+    num_ulb = batch_dim(x_ulb_w)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
@@ -69,7 +72,10 @@ def ssl_forward(
         return out, {}
 
     if use_cat:
-        inputs = jnp.concatenate([x_lb, x_ulb_w, x_ulb_s], axis=0)
+        # pytree-aware concat: image tensors AND token dicts
+        # ({input_ids, attention_mask}) ride the same path
+        inputs = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), x_lb, x_ulb_w, x_ulb_s)
         outs, new_state = fwd(variables, inputs, mutable)
         logits, feats = outs["logits"], outs["feat"]
         l_lb, l_w, l_s = jnp.split(logits, [num_lb, num_lb + num_ulb], axis=0)

@@ -57,7 +57,7 @@ class Dash(Algorithm):
         cfg = self.cfg
         st: DashState = ctx.algo_state
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
 
         # rho schedule: every 10 epochs (dash/utils.py:27-37)
         num_iter_per_epoch = max(cfg.num_train_iter // max(cfg.epoch, 1), 1)
@@ -74,13 +74,13 @@ class Dash(Algorithm):
         soft_pl = jax.nn.softmax(logits_w / cfg.T, axis=-1)
 
         # masking loss: ce(logits_w, pseudo) <= rho (dash/utils.py:42-50)
-        loss_w_hard = ce_loss(logits_w, hard_pl, reduction="none")
-        loss_w_soft = ce_loss(logits_w, soft_pl, reduction="none")
+        loss_w_hard = self.ce_loss(logits_w, hard_pl, reduction="none")
+        loss_w_soft = self.ce_loss(logits_w, soft_pl, reduction="none")
         loss_w = jnp.where(use_hard, loss_w_hard, loss_w_soft)
         mask = (loss_w <= rho).astype(jnp.float32)
 
-        unsup_hard = consistency_loss(fwd.logits_x_ulb_s, hard_pl, "ce", mask=mask)
-        unsup_soft = consistency_loss(fwd.logits_x_ulb_s, soft_pl, "ce", mask=mask)
+        unsup_hard = self.consistency_loss(fwd.logits_x_ulb_s, hard_pl, "ce", mask=mask)
+        unsup_soft = self.consistency_loss(fwd.logits_x_ulb_s, soft_pl, "ce", mask=mask)
         unsup_loss = jnp.where(use_hard, unsup_hard, unsup_soft)
 
         new_state = DashState(rho_init=st.rho_init, rho=rho,

@@ -25,12 +25,13 @@ class FixMatch(Algorithm):
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
-        mask = C.fixed_threshold_mask(probs_w, cfg.p_cutoff)
-        pseudo_label = gen_ulb_targets(
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
+        probs_w = self.maybe_dist_align(probs_w)
+        mask = self.fixed_mask(probs_w)
+        pseudo_label = self.gen_ulb_targets(
             probs_w, use_hard_label=cfg.hard_label, T=cfg.T, softmax=False)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=ctx.algo_state, mask=mask,
                          pseudo_label=pseudo_label)
@@ -58,17 +59,17 @@ class DeFixMatch(FixMatch):
         logits_x_lb = fwd.logits_x_lb[:num_lb]
         logits_x_lb_s = fwd.logits_x_lb[num_lb:]
         # reference defixmatch.py:76: mean of plain and strong-view CE
-        sup_loss = 0.5 * (ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
-                          + ce_loss(logits_x_lb_s, b["y_lb"], reduction="mean"))
+        sup_loss = 0.5 * (self.ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
+                          + self.ce_loss(logits_x_lb_s, b["y_lb"], reduction="mean"))
 
-        probs_w_ulb = C.compute_prob(fwd.logits_x_ulb_w)
-        probs_w_lb = C.compute_prob(jax.lax.stop_gradient(jnp.asarray(logits_x_lb)))
-        mask = C.fixed_threshold_mask(probs_w_ulb, cfg.p_cutoff)
-        mask_lb = C.fixed_threshold_mask(probs_w_lb, cfg.p_cutoff)
-        pl_ulb = gen_ulb_targets(probs_w_ulb, cfg.hard_label, cfg.T, softmax=False)
-        anti_pl = gen_ulb_targets(probs_w_lb, cfg.hard_label, cfg.T, softmax=False)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pl_ulb, "ce", mask=mask)
-        anti_unsup = consistency_loss(logits_x_lb_s, anti_pl, "ce", mask=mask_lb)
+        probs_w_ulb = self.compute_prob(fwd.logits_x_ulb_w)
+        probs_w_lb = self.compute_prob(jax.lax.stop_gradient(jnp.asarray(logits_x_lb)))
+        mask = self.fixed_mask(probs_w_ulb)
+        mask_lb = self.fixed_mask(probs_w_lb)
+        pl_ulb = self.gen_ulb_targets(probs_w_ulb, cfg.hard_label, cfg.T, softmax=False)
+        anti_pl = self.gen_ulb_targets(probs_w_lb, cfg.hard_label, cfg.T, softmax=False)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pl_ulb, "ce", mask=mask)
+        anti_unsup = self.consistency_loss(logits_x_lb_s, anti_pl, "ce", mask=mask_lb)
         # reference defixmatch.py:118: total = sup + λu*(unsup - anti_unsup)
         unsup = unsup_loss - anti_unsup
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup, fwd=fwd,

@@ -27,14 +27,15 @@ class FlexMatch(Algorithm):
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
+        probs_w = self.maybe_dist_align(probs_w)
         new_state, mask = C.flex_mask(
             ctx.algo_state, probs_w, ctx.batch["idx_ulb"],
             cfg.p_cutoff, cfg.thresh_warmup)
-        pseudo_label = gen_ulb_targets(
+        pseudo_label = self.gen_ulb_targets(
             probs_w, use_hard_label=cfg.hard_label, T=cfg.T, softmax=False)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=new_state, mask=mask,
                          pseudo_label=pseudo_label)

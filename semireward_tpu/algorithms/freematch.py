@@ -30,16 +30,16 @@ class FreeMatch(Algorithm):
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
         new_state, mask = C.free_mask(
             ctx.algo_state, probs_w, momentum=cfg.ema_p,
             use_quantile=cfg.use_quantile, clip_thresh=cfg.clip_thresh)
         # reference passes raw logits to gen_ulb_targets (softmax inside)
-        pseudo_label = gen_ulb_targets(
+        pseudo_label = self.gen_ulb_targets(
             fwd.logits_x_ulb_w, use_hard_label=cfg.hard_label, T=cfg.T,
             softmax=True)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
         ent_loss = C.free_entropy_loss(mask, fwd.logits_x_ulb_s,
                                        new_state.p_model, new_state.label_hist)
         extra = cfg.ent_loss_ratio * ent_loss

@@ -25,6 +25,7 @@ class MixMatch(Algorithm):
     DEFAULTS = {"T": 0.5, "unsup_warm_up": 1 / 64, "mixup_alpha": 0.5,
                 "mixup_manifold": False}
     BATCH_KEYS = ("x_lb", "y_lb", "x_ulb_w", "x_ulb_s")
+    WEAK_ULB_S = True
 
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
@@ -53,8 +54,8 @@ class MixMatch(Algorithm):
         outs_w2, _ = fwd(b["x_ulb_s"], keys[1], False)
         outs_w1, outs_w2 = sg(outs_w1), sg(outs_w2)
 
-        avg_prob = (C.compute_prob(outs_w1["logits"])
-                    + C.compute_prob(outs_w2["logits"])) / 2
+        avg_prob = (self.compute_prob(outs_w1["logits"])
+                    + self.compute_prob(outs_w2["logits"])) / 2
         sharpen = avg_prob ** (1 / cfg.T)
         sharpen = jax.lax.stop_gradient(
             sharpen / sharpen.sum(axis=-1, keepdims=True))
@@ -86,8 +87,8 @@ class MixMatch(Algorithm):
 
         logits_x = logits_list[0]
         logits_u = jnp.concatenate(logits_list[1:], axis=0)
-        sup_loss = ce_loss(logits_x, mixed_y[:num_lb], reduction="mean")
-        unsup_loss = consistency_loss(logits_u, mixed_y[num_lb:], "mse")
+        sup_loss = self.ce_loss(logits_x, mixed_y[:num_lb], reduction="mean")
+        unsup_loss = self.consistency_loss(logits_u, mixed_y[num_lb:], "mse")
         warm = self.unsup_warmup_factor(ctx.step)
         model_state = {"batch_stats": new_bs} if new_bs is not None else {}
         fwd_out = C.ForwardOut(outs_x_lb["logits"], outs_w1["logits"],

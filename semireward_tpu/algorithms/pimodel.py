@@ -21,6 +21,7 @@ from semireward_tpu.algorithms.base import Algorithm, LossOut, StepCtx
 class _UnlabeledConsistency(Algorithm):
     DEFAULTS = {"unsup_warm_up": 0.4}
     BATCH_KEYS = ("x_lb", "y_lb", "x_ulb_w", "x_ulb_s")
+    WEAK_ULB_S = True
     TEACHER_EMA = False
 
     def loss(self, ctx: StepCtx) -> LossOut:
@@ -51,9 +52,9 @@ class _UnlabeledConsistency(Algorithm):
             outs_w = frozen(b["x_ulb_w"], k_w)
         outs_s = frozen(b["x_ulb_s"], k_s)
 
-        sup_loss = ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
-        probs_w = C.compute_prob(jax.lax.stop_gradient(outs_w["logits"]))
-        unsup_loss = consistency_loss(outs_s["logits"], probs_w, "mse")
+        sup_loss = self.ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
+        probs_w = self.compute_prob(jax.lax.stop_gradient(outs_w["logits"]))
+        unsup_loss = self.consistency_loss(outs_s["logits"], probs_w, "mse")
         warm = self.unsup_warmup_factor(ctx.step)
         fwd = C.ForwardOut(outs_lb["logits"], outs_w["logits"], outs_s["logits"],
                            outs_lb["feat"], outs_w["feat"], outs_s["feat"],

@@ -41,7 +41,7 @@ class FullySupervised(Algorithm):
                                 mode=self.cfg.reg_loss if self.cfg.reg_loss.endswith("_loss")
                                 else self.cfg.reg_loss)
         else:
-            sup_loss = ce_loss(outs["logits"], ctx.batch["y_lb"], reduction="mean")
+            sup_loss = self.ce_loss(outs["logits"], ctx.batch["y_lb"], reduction="mean")
         fwd = C.ForwardOut(outs["logits"], outs["logits"], outs["logits"],
                            outs["feat"], outs["feat"], outs["feat"], new_state)
         return self.pack(sup_loss=sup_loss, unsup_loss=jnp.asarray(0.0), fwd=fwd,
@@ -84,16 +84,17 @@ class PseudoLabel(Algorithm):
             sup_loss = reg_loss(outs_lb["logits"], b["y_lb"])
             mask = jnp.ones((logits_ulb.shape[0],), jnp.float32)
             pseudo_label = pseudo_src
-            unsup_loss = consistency_loss(logits_ulb, pseudo_label, "l1", mask=mask)
+            unsup_loss = self.consistency_loss(logits_ulb, pseudo_label, "l1", mask=mask)
         else:
             outs_ulb = frozen_fwd(b["x_ulb_w"], k_ulb)
             logits_ulb = outs_ulb["logits"]
-            probs = C.compute_prob(jax.lax.stop_gradient(logits_ulb))
-            sup_loss = ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
-            mask = C.fixed_threshold_mask(probs, cfg.p_cutoff)
-            pseudo_label = gen_ulb_targets(jax.lax.stop_gradient(logits_ulb),
+            probs = self.compute_prob(jax.lax.stop_gradient(logits_ulb))
+            probs = self.maybe_dist_align(probs)
+            sup_loss = self.ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
+            mask = self.fixed_mask(probs)
+            pseudo_label = self.gen_ulb_targets(jax.lax.stop_gradient(logits_ulb),
                                            use_hard_label=True)
-            unsup_loss = consistency_loss(logits_ulb, pseudo_label, "ce", mask=mask)
+            unsup_loss = self.consistency_loss(logits_ulb, pseudo_label, "ce", mask=mask)
 
         warm = self.unsup_warmup_factor(ctx.step)
         fwd = C.ForwardOut(outs_lb["logits"], logits_ulb, logits_ulb,

@@ -67,7 +67,7 @@ class ReMixMatch(Algorithm):
         outs_w, _ = fwd(b["x_ulb_w"], keys[0], False)
         outs_w = sg(outs_w)
         da_state, prob = C.dist_align_ema(
-            ctx.algo_state, C.compute_prob(outs_w["logits"]), momentum=0.999)
+            ctx.algo_state, self.compute_prob(outs_w["logits"]), momentum=0.999)
         sharpen = prob ** (1 / cfg.T)
         sharpen = jax.lax.stop_gradient(
             sharpen / sharpen.sum(axis=-1, keepdims=True))
@@ -102,16 +102,16 @@ class ReMixMatch(Algorithm):
 
         logits_x = logits_list[0]
         logits_u = jnp.concatenate(logits_list[1:], axis=0)
-        sup_loss = ce_loss(logits_x, mixed_y[:num_lb], reduction="mean")
-        unsup_loss = consistency_loss(logits_u, mixed_y[num_lb:], "ce")
-        u1_loss = consistency_loss(outs_s0["logits"], sharpen, "ce")
+        sup_loss = self.ce_loss(logits_x, mixed_y[:num_lb], reduction="mean")
+        unsup_loss = self.consistency_loss(logits_u, mixed_y[num_lb:], "ce")
+        u1_loss = self.consistency_loss(outs_s0["logits"], sharpen, "ce")
         warm = self.unsup_warmup_factor(ctx.step)
 
         extra = cfg.kl_loss_ratio * warm * u1_loss
         rot_loss = jnp.asarray(0.0)
         if self.use_rot and "x_ulb_s_0_rot" in b:
             out_rot, _ = fwd(b["x_ulb_s_0_rot"], keys[11], False, use_rot=True)
-            rot_loss = ce_loss(out_rot["logits_rot"], b["rot_v"],
+            rot_loss = self.ce_loss(out_rot["logits_rot"], b["rot_v"],
                                reduction="mean")
             extra = extra + cfg.rot_loss_ratio * rot_loss
 

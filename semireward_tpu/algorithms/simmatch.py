@@ -89,7 +89,7 @@ class SimMatch(Algorithm):
         ema_feats_w = jax.lax.stop_gradient(feats[num_lb:num_lb + num_ulb])
         feats_s = feats[num_lb + num_ulb:]
 
-        sup_loss = ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
+        sup_loss = self.ce_loss(logits_x_lb, b["y_lb"], reduction="mean")
 
         if self.use_ema_teacher and ctx.ema_params is not None:
             # EMA-teacher labeled features for the bank (simmatch.py:169-172)
@@ -127,8 +127,8 @@ class SimMatch(Algorithm):
         in_loss = jnp.where(epoch0, 0.0, in_loss)
         probs_w = jnp.where(epoch0, ema_probs_w, probs_w)
 
-        mask = C.fixed_threshold_mask(probs_w, cfg.p_cutoff)
-        unsup_loss = consistency_loss(logits_s, probs_w, "ce", mask=mask)
+        mask = self.fixed_mask(probs_w)
+        unsup_loss = self.consistency_loss(logits_s, probs_w, "ce", mask=mask)
 
         # bank update (simmatch.py:118-127)
         k = jax.lax.stop_gradient(ema_feats_x_lb)

@@ -42,11 +42,11 @@ class SoftMatch(Algorithm):
     def loss(self, ctx: StepCtx) -> LossOut:
         cfg = self.cfg
         fwd = self.forward(ctx)
-        sup_loss = ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
+        sup_loss = self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"], reduction="mean")
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
         da_state = ctx.algo_state.dist_align
         if cfg.dist_align:
-            probs_lb = C.compute_prob(fwd.logits_x_lb)
+            probs_lb = self.compute_prob(fwd.logits_x_lb)
             da_state, probs_w = C.dist_align_ema(
                 da_state, probs_w,
                 probs_x_lb=probs_lb if not cfg.dist_uniform else None,
@@ -56,10 +56,10 @@ class SoftMatch(Algorithm):
             momentum=cfg.ema_p, per_class=cfg.per_class)
         # pseudo-labels come from the RAW weak logits, not the aligned probs
         # (reference softmatch.py:93-99)
-        pseudo_label = gen_ulb_targets(
+        pseudo_label = self.gen_ulb_targets(
             fwd.logits_x_ulb_w, use_hard_label=cfg.hard_label, T=cfg.T,
             softmax=True)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
         new_state = SoftMatchAlgoState(gaussian=g_state, dist_align=da_state)
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=new_state, mask=mask,

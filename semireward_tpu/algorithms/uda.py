@@ -44,17 +44,18 @@ class UDA(Algorithm):
         fwd = self.forward(ctx)
         tsa = tsa_threshold(cfg.tsa_schedule, ctx.step, cfg.num_train_iter,
                             cfg.num_classes)
-        probs_lb = C.compute_prob(jax.lax.stop_gradient(fwd.logits_x_lb))
+        probs_lb = self.compute_prob(jax.lax.stop_gradient(fwd.logits_x_lb))
         sup_mask = (jnp.max(probs_lb, axis=-1) <= tsa).astype(jnp.float32)
-        sup_loss = (ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"],
+        sup_loss = (self.ce_loss(fwd.logits_x_lb, ctx.batch["y_lb"],
                             reduction="none") * sup_mask).mean()
-        probs_w = C.compute_prob(fwd.logits_x_ulb_w)
-        mask = C.fixed_threshold_mask(probs_w, cfg.p_cutoff)
+        probs_w = self.compute_prob(fwd.logits_x_ulb_w)
+        probs_w = self.maybe_dist_align(probs_w)
+        mask = self.fixed_mask(probs_w)
         # soft pseudo-labels: the probs pass through unsharpened
         # (reference uda.py:93-99 with use_hard_label=False, softmax=False)
-        pseudo_label = gen_ulb_targets(probs_w, use_hard_label=False, T=cfg.T,
+        pseudo_label = self.gen_ulb_targets(probs_w, use_hard_label=False, T=cfg.T,
                                        softmax=False)
-        unsup_loss = consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
+        unsup_loss = self.consistency_loss(fwd.logits_x_ulb_s, pseudo_label, "ce", mask=mask)
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=ctx.algo_state, mask=mask,
                          pseudo_label=pseudo_label)

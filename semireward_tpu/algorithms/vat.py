@@ -61,7 +61,7 @@ class VAT(Algorithm):
                                 rngs={"dropout": key}), {}
 
         outs_lb, new_state = fwd(b["x_lb"], k_lb, True)
-        sup_loss = ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
+        sup_loss = self.ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
 
         outs_ulb, _ = fwd(b["x_ulb_w"], k_ulb, False)  # BN frozen
         ul_y = jax.lax.stop_gradient(outs_ulb["logits"])

@@ -50,7 +50,7 @@ class Trainer:
     fit/evaluate/predict mirror the lighting API."""
 
     def __init__(self, cfg: Config, bundle: Optional[SSLDataBundle] = None,
-                 use_mesh: bool = True, logger=None):
+                 use_mesh: bool = True, logger=None, alg_factory=None):
         self.cfg = cfg
         self.logger = logger or get_logger(cfg.save_name)
         self.bundle = bundle if bundle is not None else get_dataset(cfg, cfg.algorithm)
@@ -66,9 +66,20 @@ class Trainer:
         self.model = builder(num_classes=cfg.num_classes,
                              dtype=_model_dtype(cfg), img_size=cfg.img_size)
         self.net_builder = builder  # carries layer-decay grouping metadata
+        data_info["num_features"] = getattr(self.model, "num_features",
+                                            cfg.feature_dim)
 
         alg_cls = ALGORITHMS.get(cfg.algorithm)
-        self.alg = alg_cls(cfg, data_info)
+        if alg_factory is not None:
+            self.alg = alg_factory(cfg, data_info)
+        elif cfg.imb_algorithm:
+            # composition with the base algorithm (reference
+            # imb_algorithms/__init__.py:14-19 dynamic inheritance)
+            from semireward_tpu import imb as imb_lib
+            self.alg = imb_lib.get_imb_algorithm(cfg.imb_algorithm)(
+                cfg, data_info, base_cls=alg_cls)
+        else:
+            self.alg = alg_cls(cfg, data_info)
         self.model = self.alg.wrap_model(self.model)
 
         self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
@@ -93,8 +104,10 @@ class Trainer:
         def full_step(state, raw):
             arng = jax.random.fold_in(
                 jax.random.fold_in(state.rng, state.step), 7919)
-            views = augment_views(arng, raw["x_lb"], raw["x_ulb"], spec,
-                                  [k for k in batch_keys if k.startswith("x_")])
+            views = augment_views(
+                arng, raw["x_lb"], raw["x_ulb"], spec,
+                [k for k in batch_keys if k.startswith("x_")],
+                weak_ulb_s=getattr(self.alg, "WEAK_ULB_S", False))
             batch = dict(views)
             for k in ("y_lb", "idx_lb", "idx_ulb"):
                 if k in raw:
@@ -115,17 +128,24 @@ class Trainer:
             self._jit_step = jax.jit(full_step, donate_argnums=donate)
             self._batch_sharding = None
 
-        eval_step = make_eval_step(self.model)
+        def eval_fwd(state, x, out_key="logits"):
+            params = state.ema_params
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = self.model.apply(variables, normalize(x, spec.mean, spec.std),
+                                   train=False)
+            if isinstance(out, dict):
+                return out.get(out_key, out["logits"])
+            return out
 
-        def eval_fwd(state, x):
-            x = normalize(x, spec.mean, spec.std)
-            return eval_step(state, x)
-
-        self._jit_eval = jax.jit(eval_fwd)
+        self._jit_eval = jax.jit(eval_fwd, static_argnames=("out_key",))
 
         self.best_metric = -math.inf
         self.best_it = 0
         self._save_dir = os.path.join(cfg.save_dir, cfg.save_name)
+        self._iters_per_epoch = (cfg.num_train_iter // cfg.epoch
+                                 if cfg.epoch > 0 else 0)
 
     # ------------------------------------------------------------------
     def _put_batch(self, raw: Dict[str, np.ndarray]):
@@ -168,6 +188,14 @@ class Trainer:
                     + f" lr={lr:.2e} steps/s={sps:.2f}")
                 t0 = time.time()
 
+            # host-side epoch actions (SAW/ADSH re-weighting etc.,
+            # reference after_train_epoch hooks)
+            if (self._iters_per_epoch and step_now % self._iters_per_epoch == 0
+                    and hasattr(self.alg, "on_epoch_end")):
+                new_state = self.alg.on_epoch_end(self, self.state)
+                if new_state is not None:
+                    self.state = new_state
+
             if step_now % cfg.num_eval_iter == 0 or step_now == num_iters:
                 eval_m = self.evaluate()
                 key = "top-1-acc" if not cfg.is_regression else "mse"
@@ -198,9 +226,14 @@ class Trainer:
 
     def evaluate(self, split: str = "eval") -> Dict[str, float]:
         ds = self.bundle.eval
+        if hasattr(self.alg, "eval_out_key"):
+            out_key = self.alg.eval_out_key(int(self.state.step))
+        else:
+            out_key = getattr(self.alg, "EVAL_OUT_KEY", "logits")
         preds, trues, logits_all = [], [], []
         for b in eval_batches(ds, self.cfg.eval_batch_size):
-            logits = np.asarray(self._jit_eval(self.state, b["x"]))
+            logits = np.asarray(self._jit_eval(self.state, b["x"],
+                                               out_key=out_key))
             logits = logits[b["mask"]]
             y = b["y"][b["mask"]]
             preds.append(logits.argmax(-1))

