@@ -109,9 +109,18 @@ class Trainer:
                 [k for k in batch_keys if k.startswith("x_")],
                 weak_ulb_s=getattr(self.alg, "WEAK_ULB_S", False))
             batch = dict(views)
-            for k in ("y_lb", "idx_lb", "idx_ulb"):
+            for k in ("y_lb", "idx_lb", "idx_ulb", "y_tfe_lb"):
                 if k in raw:
                     batch[k] = raw[k]
+            # CoSSL TFE streams, augmented per cossl_tfe_augment
+            if "x_tfe_lb" in raw:
+                from semireward_tpu.data.augment import randaugment as _ra, weak_augment as _wa
+                tfe_aug = _ra if self.cfg.extra.get(
+                    "cossl_tfe_augment", "strong") == "strong" else _wa
+                k1 = jax.random.fold_in(arng, 101)
+                k2 = jax.random.fold_in(arng, 102)
+                batch["x_tfe_lb"] = tfe_aug(k1, raw["x_tfe_lb"], spec)
+                batch["x_tfe_ulb"] = tfe_aug(k2, raw["x_tfe_ulb"], spec)
             return self._raw_step(state, batch)
 
         donate = (0,) if cfg.donate_state else ()
@@ -158,8 +167,12 @@ class Trainer:
               eval_hook: Optional[Callable] = None) -> Dict[str, float]:
         cfg = self.cfg
         num_iters = num_iters or cfg.num_train_iter
-        loader = SSLLoader(self.bundle, cfg.batch_size, cfg.ulb_batch_size,
-                           seed=cfg.seed)
+        tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
+        loader = SSLLoader(
+            self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,
+            tfe_streams=tfe,
+            tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
+            * cfg.batch_size if tfe else 0)
         log = self.logger.info
         results: Dict[str, float] = {}
         metrics_acc = None

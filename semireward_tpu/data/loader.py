@@ -42,7 +42,8 @@ class SSLLoader:
 
     def __init__(self, bundle: SSLDataBundle, batch_size: int,
                  ulb_batch_size: int, seed: int = 0, rank: int = 0,
-                 world: int = 1):
+                 world: int = 1, tfe_streams: bool = False,
+                 tfe_ulb_batch_size: int = 0):
         self.bundle = bundle
         self.batch_size = batch_size
         self.ulb_batch_size = ulb_batch_size
@@ -52,6 +53,19 @@ class SSLLoader:
         self._ulb = batched(
             infinite_indices(len(bundle.train_ulb), seed + 1, rank, world),
             ulb_batch_size)
+        # CoSSL TFE streams: class-balanced labeled (weighted toward uniform,
+        # reference cossl.py:150-160) + an extra unlabeled stream
+        self._tfe = None
+        if tfe_streams:
+            targets = np.asarray(bundle.train_lb.targets, np.int64)
+            cnt = np.bincount(targets, minlength=bundle.num_classes).astype(np.float64)
+            w = (1.0 / np.maximum(cnt, 1))[targets]
+            self._tfe_p = w / w.sum()
+            self._tfe_rs = np.random.RandomState(seed + 7)
+            self._tfe_ulb = batched(
+                infinite_indices(len(bundle.train_ulb), seed + 8, rank, world),
+                tfe_ulb_batch_size or batch_size)
+            self._tfe = True
 
     def __iter__(self):
         return self
@@ -60,7 +74,7 @@ class SSLLoader:
         lb_idx = next(self._lb)
         ulb_idx = next(self._ulb)
         lb, ulb = self.bundle.train_lb, self.bundle.train_ulb
-        return {
+        out = {
             "x_lb": lb.data[lb_idx],
             "y_lb": lb.targets[lb_idx],
             "idx_lb": lb_idx.astype(np.int32),
@@ -68,6 +82,14 @@ class SSLLoader:
             "y_ulb": ulb.targets[ulb_idx],
             "idx_ulb": ulb_idx.astype(np.int32),
         }
+        if self._tfe:
+            tfe_lb_idx = self._tfe_rs.choice(len(lb), self.batch_size,
+                                             p=self._tfe_p)
+            tfe_ulb_idx = next(self._tfe_ulb)
+            out["x_tfe_lb"] = lb.data[tfe_lb_idx]
+            out["y_tfe_lb"] = lb.targets[tfe_lb_idx]
+            out["x_tfe_ulb"] = ulb.data[tfe_ulb_idx]
+        return out
 
 
 def eval_batches(ds: ArrayDataset, batch_size: int):

@@ -83,3 +83,15 @@ def test_darp_updates_pseudo_orig(rs):
     assert not np.allclose(po[idx], 0.25)
     others = np.setdiff1d(np.arange(32), idx)
     np.testing.assert_allclose(po[others], 0.25, rtol=1e-6)
+
+
+def test_cossl_step(rs):
+    """CoSSL composed step with TFE streams."""
+    cfg, alg, state, step = build("cossl")
+    b = batch(rs)
+    b["x_tfe_lb"] = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    b["y_tfe_lb"] = jnp.asarray(rs.randint(0, 4, 4))
+    b["x_tfe_ulb"] = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    state, m = step(state, b)
+    assert np.isfinite(float(m["total_loss"]))
+    assert "tea_loss" in m
