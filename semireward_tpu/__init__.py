@@ -33,8 +33,27 @@ def get_net_builder(name: str, from_name: bool = False):
     return _m.get_net_builder(name, from_name)
 
 
+def get_dataset(cfg, alg: str = "fixmatch"):
+    from semireward_tpu.data.datasets import get_dataset as _g
+
+    return _g(cfg, alg)
+
+
+def split_ssl_data(*a, **kw):
+    from semireward_tpu.data.split import split_ssl_data as _s
+
+    return _s(*a, **kw)
+
+
+def Trainer(*a, **kw):  # noqa: N802  (reference lighting API name)
+    from semireward_tpu.core.trainer import Trainer as _T
+
+    return _T(*a, **kw)
+
+
 __all__ = [
     "Config", "from_dict", "from_yaml", "get_config",
-    "get_algorithm", "get_net_builder",
+    "get_algorithm", "get_net_builder", "get_dataset", "split_ssl_data",
+    "Trainer",
     "ALGORITHMS", "IMB_ALGORITHMS", "NETS", "DATASETS",
 ]

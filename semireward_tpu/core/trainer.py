@@ -163,10 +163,74 @@ class Trainer:
                     for k, v in raw.items()}
         return raw
 
+    def warmup(self):
+        """Dash's supervised pre-stage (reference dash/dash.py:60-155):
+        num_wu_iter labeled-only steps on the same model/optimizer, then
+        rho_init = eval CE loss, iteration counter reset to 0."""
+        cfg = self.cfg
+        import optax as _optax
+        from semireward_tpu.core.losses import ce_loss as _ce
+        from semireward_tpu.core.train_state import tree_ema as _tree_ema
+
+        spec = self.aug_spec
+
+        def wu_step(state, raw):
+            arng = jax.random.fold_in(state.rng, state.step)
+            x = augment_views(arng, raw["x_lb"], raw["x_ulb"], spec,
+                              ["x_lb"])["x_lb"]
+
+            def loss_fn(params):
+                v = {"params": params}
+                if state.batch_stats:
+                    v["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"] if state.batch_stats else False
+                out = self.model.apply(v, x, train=True, mutable=mutable,
+                                       rngs={"dropout": arng})
+                out, st = out if mutable else (out, {})
+                return _ce(out["logits"], raw["y_lb"], "mean"), st
+
+            (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = _optax.apply_updates(state.params, updates)
+            return state.replace(
+                step=state.step + 1, params=new_params,
+                ema_params=_tree_ema(state.ema_params, new_params, cfg.ema_m),
+                opt_state=new_opt,
+                batch_stats=st.get("batch_stats", state.batch_stats)
+                if st else state.batch_stats), loss
+
+        jit_wu = jax.jit(wu_step, donate_argnums=0)
+        loader = SSLLoader(self.bundle, cfg.batch_size, cfg.ulb_batch_size,
+                           seed=cfg.seed + 99)
+        n = int(cfg.extra.get("num_wu_iter", cfg.num_wu_iter))
+        for i in range(n):
+            self.state, loss = jit_wu(self.state, self._put_batch(next(loader)))
+            if (i + 1) % cfg.num_wu_eval_iter == 0:
+                self.logger.info(f"warmup {i + 1}/{n} sup_loss={float(loss):.4f}")
+        eval_m = self.evaluate()
+        rho_init = eval_m["loss"]
+        algo_state = self.state.algo
+        if hasattr(self.alg, "set_rho_init"):
+            algo_state = self.alg.set_rho_init(algo_state, rho_init)
+        elif hasattr(self.alg, "base") and hasattr(self.alg.base, "set_rho_init"):
+            base_state, imb_state = algo_state
+            algo_state = (self.alg.base.set_rho_init(base_state, rho_init),
+                          imb_state)
+        self.state = self.state.replace(
+            algo=algo_state, step=jnp.asarray(0, jnp.int32))
+        self.logger.info(f"warmup finished; rho_init={rho_init:.4f}")
+
     def train(self, num_iters: Optional[int] = None,
               eval_hook: Optional[Callable] = None) -> Dict[str, float]:
         cfg = self.cfg
         num_iters = num_iters or cfg.num_train_iter
+        needs_wu = (getattr(self.alg, "NEEDS_WARMUP", False)
+                    or getattr(getattr(self.alg, "base", None),
+                               "NEEDS_WARMUP", False))
+        if needs_wu and int(self.state.step) == 0:
+            self.warmup()
         tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
         loader = SSLLoader(
             self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,

@@ -1,0 +1,130 @@
+"""Additional CV dataset loaders (local files, zero-egress).
+
+Rebuild of the reference cv_datasets family: svhn.py, stl10.py, eurosat.py,
+medmnist.py (TissueMNIST), aves.py, food101.py, imagenet.py and the
+regression sets agedb.py / imdb_wiki.py / rcf_mnist.py. All loaders read
+the standard on-disk layouts the torchvision/medmnist downloads produce and
+return raw uint8 arrays + targets; augmentation happens on device.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+MEAN_STD = {
+    # reference svhn.py / stl10.py / eurosat.py / medmnist.py constants
+    "svhn": ((0.4380, 0.4440, 0.4730), (0.1751, 0.1771, 0.1744)),
+    "stl10": ((112.4 / 255, 109.1 / 255, 98.6 / 255),
+              (68.4 / 255, 66.6 / 255, 68.5 / 255)),
+    "eurosat": ((0.3442, 0.3802, 0.4077), (0.2025, 0.1369, 0.1156)),
+    "tissuemnist": ((0.5,), (0.5,)),
+}
+
+
+def load_svhn(data_dir: str) -> Tuple[Tuple[np.ndarray, np.ndarray],
+                                      Tuple[np.ndarray, np.ndarray]]:
+    """torchvision SVHN .mat layout (train_32x32.mat / test_32x32.mat)."""
+    from scipy.io import loadmat
+
+    base = os.path.join(data_dir, "svhn")
+    out = []
+    for split in ("train", "test"):
+        m = loadmat(os.path.join(base, f"{split}_32x32.mat"))
+        x = np.transpose(m["X"], (3, 0, 1, 2))  # HWCN -> NHWC
+        y = m["y"].reshape(-1).astype(np.int64) % 10  # label 10 -> 0
+        out.append((x, y))
+    return out[0], out[1]
+
+
+def load_stl10(data_dir: str):
+    """torchvision STL-10 binary layout. Returns
+    ((train_x, train_y), (test_x, test_y), unlabeled_x)."""
+    base = os.path.join(data_dir, "stl10", "stl10_binary")
+    if not os.path.isdir(base):
+        base = os.path.join(data_dir, "stl10_binary")
+
+    def read_images(name):
+        with open(os.path.join(base, name), "rb") as f:
+            x = np.frombuffer(f.read(), np.uint8)
+        return x.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)  # CWH -> HWC
+
+    def read_labels(name):
+        with open(os.path.join(base, name), "rb") as f:
+            return np.frombuffer(f.read(), np.uint8).astype(np.int64) - 1
+
+    train = (read_images("train_X.bin"), read_labels("train_y.bin"))
+    test = (read_images("test_X.bin"), read_labels("test_y.bin"))
+    unlabeled = read_images("unlabeled_X.bin")
+    return train, test, unlabeled
+
+
+def load_npz_pair(path: str, x_key="imgs", y_key="labels"):
+    d = np.load(path)
+    return np.asarray(d[x_key]), np.asarray(d[y_key]).reshape(-1).astype(np.int64)
+
+
+def load_medmnist(data_dir: str, name: str = "tissuemnist"):
+    """medmnist npz layout (reference medmnist.py vendors the INFO catalog;
+    the file itself is <name>.npz with {train,val,test}_{images,labels})."""
+    path = os.path.join(data_dir, "medmnist", f"{name}.npz")
+    if not os.path.isfile(path):
+        path = os.path.join(data_dir, f"{name}.npz")
+    d = np.load(path)
+
+    def split(s):
+        x = np.asarray(d[f"{s}_images"])
+        if x.ndim == 3:  # grayscale -> 3ch (reference converts to RGB)
+            x = np.repeat(x[..., None], 3, axis=-1)
+        y = np.asarray(d[f"{s}_labels"]).reshape(-1).astype(np.int64)
+        return x, y
+
+    return split("train"), split("val"), split("test")
+
+
+def load_eurosat(data_dir: str):
+    """EuroSAT RGB as npz (preprocessed) or folder-of-class-folders."""
+    npz = os.path.join(data_dir, "eurosat", "eurosat.npz")
+    if os.path.isfile(npz):
+        d = np.load(npz)
+        return ((d["train_x"], d["train_y"].astype(np.int64)),
+                (d["test_x"], d["test_y"].astype(np.int64)))
+    raise FileNotFoundError(
+        "eurosat.npz not found; preprocess the folder layout offline")
+
+
+def load_folder_list(data_dir: str, name: str, list_file: str):
+    """semi_aves / food101 style: a txt list of 'relpath label' pairs.
+    Returns (paths, labels) — decoding happens lazily in the loader because
+    these are full-size JPEGs (reference aves.py:30-60)."""
+    base = os.path.join(data_dir, name)
+    paths, ys = [], []
+    with open(os.path.join(base, list_file)) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                paths.append(os.path.join(base, parts[0]))
+                ys.append(int(parts[1]))
+    return paths, np.asarray(ys, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# regression CV sets (reference agedb.py / imdb_wiki.py / rcf_mnist.py;
+# num_classes == 1, used with srpseudolabel's regression branch)
+# ---------------------------------------------------------------------------
+
+def load_regression_folder(data_dir: str, name: str):
+    """AgeDB / IMDB-WIKI preprocessed npz: {split}_x uint8 images,
+    {split}_y float targets."""
+    path = os.path.join(data_dir, name, f"{name}.npz")
+    d = np.load(path)
+    return ((d["train_x"], d["train_y"].astype(np.float32)),
+            (d["test_x"], d["test_y"].astype(np.float32)))
+
+
+def load_rcf_mnist(data_dir: str):
+    """RCF-MNIST: rotated colored-fashion MNIST, target = rotation angle
+    (reference rcf_mnist.py, 302 LoC of on-the-fly generation; here the
+    preprocessed npz)."""
+    return load_regression_folder(data_dir, "rcf_mnist")

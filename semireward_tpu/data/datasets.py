@@ -128,6 +128,43 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
                 f"or use dataset='synthetic')") from e
         mean, std = MEAN[name], STD[name]
         num_classes = 10 if name == "cifar10" else 100
+    elif name == "svhn":
+        from semireward_tpu.data.cv_extra import load_svhn
+        (data, targets), (tdata, ttargets) = load_svhn(cfg.data_dir)
+        mean, std = MEAN["svhn"], STD["svhn"]
+        num_classes = 10
+    elif name == "stl10":
+        # reference stl10.py: lb split from train, ulb = the dedicated
+        # 100k unlabeled_X set
+        from semireward_tpu.data.cv_extra import load_stl10
+        (data, targets), (tdata, ttargets), unlabeled = load_stl10(cfg.data_dir)
+        mean, std = MEAN["stl10"], STD["stl10"]
+        rng = np.random.RandomState(cfg.seed)
+        lb_data, lb_targets, _, _ = split_ssl_data(
+            data, targets, 10, cfg.num_labels, include_lb_to_ulb=False,
+            rng=rng)
+        ulb = unlabeled
+        if cfg.include_lb_to_ulb:
+            ulb = np.concatenate([lb_data, unlabeled], 0)
+        return SSLDataBundle(
+            train_lb=ArrayDataset(lb_data, lb_targets),
+            train_ulb=ArrayDataset(ulb, np.full(len(ulb), -1, np.int64)),
+            eval=ArrayDataset(tdata, ttargets),
+            num_classes=10, mean=mean, std=std)
+    elif name in ("tissuemnist", "medmnist"):
+        from semireward_tpu.data.cv_extra import load_medmnist
+        (data, targets), (vdata, vtargets), (tdata, ttargets) = \
+            load_medmnist(cfg.data_dir, "tissuemnist")
+        tdata, ttargets = vdata, vtargets  # eval split = val (USB convention)
+        from semireward_tpu.data.cv_extra import MEAN_STD
+        mean = tuple([MEAN_STD["tissuemnist"][0][0]] * 3)
+        std = tuple([MEAN_STD["tissuemnist"][1][0]] * 3)
+        num_classes = cfg.num_classes
+    elif name == "eurosat":
+        from semireward_tpu.data.cv_extra import load_eurosat, MEAN_STD
+        (data, targets), (tdata, ttargets) = load_eurosat(cfg.data_dir)
+        mean, std = MEAN_STD["eurosat"]
+        num_classes = 10
     elif name == "synthetic":
         n_train = int(cfg.extra.get("synthetic_train", 2048))
         n_test = int(cfg.extra.get("synthetic_test", 256))

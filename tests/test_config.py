@@ -1,0 +1,74 @@
+"""Config system: reference-YAML key parity, per-algorithm defaults,
+generator round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+from semireward_tpu import config as config_lib
+
+REF_CFG = ("/root/reference/config/SemiReward/usb_cv/flexmatch/"
+           "flexmatch_cifar100_200_0.yaml")
+
+
+class TestReferenceYAML:
+    @pytest.mark.skipif(not os.path.exists(REF_CFG),
+                        reason="reference configs not mounted")
+    def test_loads_reference_yaml(self):
+        cfg = config_lib.from_yaml(REF_CFG)
+        assert cfg.algorithm == "srflexmatch"
+        assert cfg.net == "vit_small_patch2_32"
+        assert cfg.num_train_iter == 204800
+        assert cfg.batch_size == 8
+        assert cfg.start_timing == 20000
+        assert cfg.feature_dim == 384
+        assert cfg.sr_lr == 0.0005
+        assert cfg.N_k == 10
+        assert cfg.sr_ema is False
+        assert cfg.layer_decay == 0.5
+        assert cfg.lambda_u == 1.0
+
+    @pytest.mark.skipif(not os.path.isdir("/root/reference/config"),
+                        reason="reference configs not mounted")
+    def test_loads_many_reference_yamls(self):
+        """Every sampled reference YAML must parse with zero unknown keys
+        silently dropped (unknowns land in cfg.extra)."""
+        import glob
+
+        files = sorted(glob.glob("/root/reference/config/*/*/*.yaml"))[::37]
+        assert len(files) > 10
+        for f in files:
+            cfg = config_lib.from_yaml(f)
+            assert cfg.num_classes > 0
+
+
+class TestDefaults:
+    def test_algorithm_defaults_injected(self):
+        cfg = config_lib.get_config(dict(algorithm="uda"))
+        assert cfg.T == 0.4 and cfg.p_cutoff == 0.8  # uda get_argument
+        cfg = config_lib.get_config(dict(algorithm="fixmatch"))
+        assert cfg.T == 0.5 and cfg.p_cutoff == 0.95
+
+    def test_user_overrides_beat_defaults(self):
+        cfg = config_lib.get_config(dict(algorithm="uda", p_cutoff=0.5))
+        assert cfg.p_cutoff == 0.5
+
+    def test_bool_string_coercion(self):
+        cfg = config_lib.get_config(dict(hard_label="False", amp="True"))
+        assert cfg.hard_label is False and cfg.amp is True
+
+
+class TestGenerator:
+    def test_generator_roundtrip(self, tmp_path):
+        import sys
+        sys.path.insert(0, "scripts")
+        from config_generator import create_configuration
+
+        create_configuration("usb_cv", "srflexmatch", "cifar100", 200, 0,
+                             str(tmp_path))
+        path = tmp_path / "usb_cv" / "srflexmatch" / \
+            "srflexmatch_cifar100_200_0.yaml"
+        assert path.exists()
+        cfg = config_lib.from_yaml(str(path))
+        assert cfg.algorithm == "srflexmatch"
+        assert cfg.start_timing == 20000
