@@ -26,6 +26,17 @@ import numpy as np
 
 
 def main():
+    # persistent compile cache: the first bench invocation pays the XLA
+    # compile; subsequent driver runs hit the cache
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import semireward_tpu  # noqa: F401
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
