@@ -63,22 +63,81 @@ _NO_COLOR_OPS = [
 ]
 
 
-def _randaugment_single(rng, img, n: int, exclude_color: bool):
+# split the op table: the five geometric ops all reduce to ONE per-sample
+# affine resample; the rest are cheap elementwise/histogram ops.
+_GEO_NAMES = ("rotate", "shear_x", "shear_y", "translate_x", "translate_y")
+
+
+def _affine_coeffs(name, v, H, W):
+    """Output->input affine (a,b,c,d,e,f) per op (see ops._affine_nearest)."""
+    zero = jnp.zeros_like(v)
+    one = jnp.ones_like(v)
+    if name == "rotate":
+        theta = -v * jnp.pi / 180.0
+        cx, cy = W / 2.0, H / 2.0
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        return (cos, sin, cx - cos * cx - sin * cy,
+                -sin, cos, cy + sin * cx - cos * cy)
+    if name == "shear_x":
+        return (one, v, zero, zero, one, zero)
+    if name == "shear_y":
+        return (one, zero, zero, v, one, zero)
+    if name == "translate_x":
+        return (one, zero, v * W, zero, one, zero)
+    if name == "translate_y":
+        return (one, zero, zero, zero, one, v * H)
+    raise KeyError(name)
+
+
+def _randaugment_batch(rng, x, n: int, exclude_color: bool):
+    """Per-sample random ops WITHOUT per-sample branching: each non-geometric
+    op runs batched and a jnp.where chain selects the chosen one; the five
+    geometric ops collapse into ONE per-sample affine resample per round
+    (coefficients selected arithmetically). This keeps the HLO small — both
+    compile time and per-step cost are dominated by gathers, and this form
+    has exactly one spatial gather per round."""
     table = _NO_COLOR_OPS if exclude_color else _FULL_OPS
-    branches = [op for op, _, _ in table]
+    names = [op.__name__ for op, _, _ in table]
     lo = jnp.array([l for _, l, _ in table], jnp.float32)
     hi = jnp.array([h for _, _, h in table], jnp.float32)
     k = len(table)
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    geo_idx = [i for i, nm in enumerate(names) if nm in _GEO_NAMES]
 
-    for i in range(n):
+    for _ in range(n):
         rng, kop, kval = jax.random.split(rng, 3)
-        idx = jax.random.randint(kop, (), 0, k)
-        v = lo[idx] + (hi[idx] - lo[idx]) * jax.random.uniform(kval, ())
-        img = jax.lax.switch(idx, branches, img, v)
+        idx = jax.random.randint(kop, (B,), 0, k)
+        u = jax.random.uniform(kval, (B,))
+        v = lo[idx] + (hi[idx] - lo[idx]) * u
+
+        # elementwise ops: batched compute + select chain
+        out = x
+        for i, (op, _l, _h) in enumerate(table):
+            if names[i] in _GEO_NAMES:
+                continue
+            cand = jax.vmap(op)(x, v)
+            out = jnp.where((idx == i)[:, None, None, None], cand, out)
+
+        if geo_idx:
+            # one fused affine: identity coeffs unless this sample drew a
+            # geometric op
+            a = jnp.ones((B,)); b = jnp.zeros((B,)); c = jnp.zeros((B,))
+            d = jnp.zeros((B,)); e = jnp.ones((B,)); f = jnp.zeros((B,))
+            for i in geo_idx:
+                ca, cb, cc, cd, ce, cf = _affine_coeffs(names[i], v, H, W)
+                sel = idx == i
+                a = jnp.where(sel, ca, a); b = jnp.where(sel, cb, b)
+                c = jnp.where(sel, cc, c); d = jnp.where(sel, cd, d)
+                e = jnp.where(sel, ce, e); f = jnp.where(sel, cf, f)
+            geo = jax.vmap(ops._affine_nearest)(x, a, b, c, d, e, f)
+            is_geo = jnp.isin(idx, jnp.asarray(geo_idx))
+            out = jnp.where(is_geo[:, None, None, None], geo, out)
+        x = out
     rng, kcv, kcut = jax.random.split(rng, 3)
-    cut_v = jax.random.uniform(kcv, ()) * 0.5 * img.shape[1]
-    img = ops.cutout_abs(img, cut_v, kcut)
-    return img
+    cut_v = jax.random.uniform(kcv, (B,)) * 0.5 * W
+    cut_keys = jax.random.split(kcut, B)
+    x = jax.vmap(ops.cutout_abs)(x, cut_v, cut_keys)
+    return x
 
 
 def _crop_flip_single(rng, img, pad: int, hflip: bool):
@@ -119,9 +178,7 @@ def randaugment(rng, batch, spec: AugmentSpec):
     keys1 = jax.random.split(k1, x.shape[0])
     x = jax.vmap(lambda k, im: _crop_flip_single(k, im, spec.crop_pad,
                                                  spec.hflip))(keys1, x)
-    keys2 = jax.random.split(k2, x.shape[0])
-    x = jax.vmap(lambda k, im: _randaugment_single(
-        k, im, spec.randaug_n, spec.exclude_color))(keys2, x)
+    x = _randaugment_batch(k2, x, spec.randaug_n, spec.exclude_color)
     return normalize(x, spec.mean, spec.std)
 
 

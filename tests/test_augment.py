@@ -1,0 +1,136 @@
+"""On-device augmentation vs PIL (the reference's substrate,
+randaugment.py:16-143). Color/histogram ops must match PIL exactly;
+geometric ops share magnitude distributions (symmetric ranges) so pixel
+parity is checked for translate (exact grid shift) and shape/validity for
+the interpolating ops."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+PIL = pytest.importorskip("PIL.Image")
+import PIL.ImageOps, PIL.ImageEnhance  # noqa: E402
+
+from semireward_tpu.data.augment import ops  # noqa: E402
+
+
+def rand_img(rs, size=32):
+    return rs.randint(0, 256, (size, size, 3)).astype(np.uint8)
+
+
+def to_pil(arr):
+    return PIL.Image.fromarray(arr)
+
+
+def run_op(op, img, v):
+    out = op(jnp.asarray(img, jnp.float32), jnp.asarray(v, jnp.float32))
+    return np.asarray(out).astype(np.uint8)
+
+
+class TestColorOpsExact:
+    def test_autocontrast(self, rs):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageOps.autocontrast(to_pil(img)))
+        np.testing.assert_array_equal(run_op(ops.autocontrast, img, 0.0), ref)
+
+    def test_equalize(self, rs):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageOps.equalize(to_pil(img)))
+        np.testing.assert_array_equal(run_op(ops.equalize, img, 0.0), ref)
+
+    def test_solarize(self, rs):
+        img = rand_img(rs)
+        for v in (0.0, 128.0, 200.0, 256.0):
+            ref = np.asarray(PIL.ImageOps.solarize(to_pil(img), v))
+            np.testing.assert_array_equal(run_op(ops.solarize, img, v), ref)
+
+    def test_posterize(self, rs):
+        img = rand_img(rs)
+        for v in (4.0, 5.7, 8.0):
+            ref = np.asarray(PIL.ImageOps.posterize(to_pil(img), max(1, int(v))))
+            np.testing.assert_array_equal(run_op(ops.posterize, img, v), ref)
+
+    def test_invert(self, rs):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageOps.invert(to_pil(img)))
+        np.testing.assert_array_equal(run_op(ops.invert, img, 0.0), ref)
+
+    @pytest.mark.parametrize("v", [0.05, 0.5, 0.95])
+    def test_brightness(self, rs, v):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageEnhance.Brightness(to_pil(img)).enhance(v))
+        got = run_op(ops.brightness, img, v)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("v", [0.05, 0.5, 0.95])
+    def test_color(self, rs, v):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageEnhance.Color(to_pil(img)).enhance(v))
+        got = run_op(ops.color, img, v)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("v", [0.05, 0.5, 0.95])
+    def test_contrast(self, rs, v):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageEnhance.Contrast(to_pil(img)).enhance(v))
+        got = run_op(ops.contrast, img, v)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("v", [0.05, 0.95])
+    def test_sharpness(self, rs, v):
+        img = rand_img(rs)
+        ref = np.asarray(PIL.ImageEnhance.Sharpness(to_pil(img)).enhance(v))
+        got = run_op(ops.sharpness, img, v)
+        # interior must match closely; PIL border handling is preserved
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
+class TestGeometric:
+    def test_translate_exact(self, rs):
+        img = rand_img(rs)
+        v = 0.25  # 8 px at 32
+        ref = np.asarray(to_pil(img).transform(
+            (32, 32), PIL.Image.AFFINE, (1, 0, v * 32, 0, 1, 0)))
+        got = run_op(ops.translate_x, img, v)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_shear_matches_pil(self, rs):
+        img = rand_img(rs)
+        v = 0.3
+        ref = np.asarray(to_pil(img).transform(
+            (32, 32), PIL.Image.AFFINE, (1, v, 0, 0, 1, 0)))
+        got = run_op(ops.shear_x, img, v)
+        # nearest-neighbor rounding may differ on boundary pixels
+        mismatch = (got != ref).mean()
+        assert mismatch < 0.02, mismatch
+
+    def test_rotate_valid(self, rs):
+        img = rand_img(rs)
+        got = run_op(ops.rotate, img, 30.0)
+        ref = np.asarray(to_pil(img).rotate(30.0))
+        mismatch = (got != ref).mean()
+        assert mismatch < 0.05, mismatch
+
+
+class TestPipeline:
+    def test_strong_augment_finite_and_normalized(self, rs):
+        from semireward_tpu.data.augment import randaugment, AugmentSpec
+        spec = AugmentSpec(crop_size=32, crop_pad=4, mean=(0.5,) * 3,
+                           std=(0.25,) * 3)
+        x = rs.randint(0, 256, (6, 32, 32, 3)).astype(np.uint8)
+        out = np.asarray(randaugment(jax.random.PRNGKey(0), jnp.asarray(x),
+                                     spec))
+        assert out.shape == x.shape
+        assert np.isfinite(out).all()
+        assert out.min() >= -2.1 and out.max() <= 2.1  # normalized range
+
+    def test_different_keys_differ(self, rs):
+        from semireward_tpu.data.augment import randaugment, AugmentSpec
+        spec = AugmentSpec(crop_size=32, crop_pad=4, mean=(0.5,) * 3,
+                           std=(0.25,) * 3)
+        x = rs.randint(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+        a = np.asarray(randaugment(jax.random.PRNGKey(0), jnp.asarray(x), spec))
+        b = np.asarray(randaugment(jax.random.PRNGKey(1), jnp.asarray(x), spec))
+        assert not np.allclose(a, b)
