@@ -31,6 +31,14 @@ try:  # optional heavyweight families register lazily
 except ImportError:  # pragma: no cover
     pass
 
+try:
+    from . import dinov2 as _dinov2
+
+    NETS.register(_dinov2.dinov2_vitb14, name="dinov2_vitb14")
+    NETS.register(_dinov2.dinov2_vitl14, name="dinov2_vitl14")
+except ImportError:  # pragma: no cover
+    pass
+
 for _mod, _names in (
     ("bert", ("bert_base_cased", "bert_base_uncased")),
     ("hubert", ("hubert_base",)),

@@ -40,13 +40,19 @@ class BertSelfAttention(nn.Module):
         q = dense("query")(x).reshape(B, L, H, hd)
         k = dense("key")(x).reshape(B, L, H, hd)
         v = dense("value")(x).reshape(B, L, H, hd)
-        att = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                         preferred_element_type=jnp.float32) * (hd ** -0.5)
-        att = att + attn_bias
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(0.1, deterministic=not train)(att)
-        out = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        # padding bias forces the einsum fallback inside flash_attention;
+        # the blockwise path engages for full-length unmasked batches
+        from semireward_tpu.ops.attention import flash_attention
+        if train:
+            att = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                             preferred_element_type=jnp.float32) * (hd ** -0.5)
+            att = att + attn_bias
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(0.1, deterministic=not train)(att)
+            out = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
+        else:
+            out = flash_attention(q, k, v, bias=attn_bias)
         out = out.reshape(B, L, self.hidden).astype(self.dtype)
         return dense("output")(out)
 

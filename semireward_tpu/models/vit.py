@@ -77,12 +77,20 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if train:
+            # training path: fused einsum chain (differentiable; XLA tiles
+            # it onto the MXU at USB sequence lengths) + attention dropout
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (hd ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
+        else:
+            # inference: Pallas flash attention (ops/attention.py) — O(N*d)
+            # HBM traffic; falls back to einsum for small/non-TPU cases
+            from semireward_tpu.ops.attention import flash_attention
+            out = flash_attention(q, k, v)
         out = out.reshape(B, N, C).astype(self.dtype)
         out = nn.Dense(C, kernel_init=torch_default_init,
                        bias_init=torch_bias_init, dtype=self.dtype,
