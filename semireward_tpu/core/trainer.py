@@ -63,8 +63,12 @@ class Trainer:
             data_info["lb_class_dist"] = counts / max(counts.sum(), 1)
 
         builder = NETS.get(cfg.net)
+        net_kw = {}
+        if "bn_momentum" in cfg.extra:
+            net_kw["bn_momentum"] = float(cfg.extra["bn_momentum"])
         self.model = builder(num_classes=cfg.num_classes,
-                             dtype=_model_dtype(cfg), img_size=cfg.img_size)
+                             dtype=_model_dtype(cfg), img_size=cfg.img_size,
+                             **net_kw)
         self.net_builder = builder  # carries layer-decay grouping metadata
         data_info["num_features"] = getattr(self.model, "num_features",
                                             cfg.feature_dim)

@@ -21,7 +21,10 @@ from flax import linen as nn
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_init = nn.initializers.xavier_normal()
 
-_BN_MOM = 0.999  # = 1 - torch momentum 0.001 (reference wrn.py:11)
+# flax momentum = 1 - torch momentum; reference wrn.py:11 uses 0.001, i.e.
+# running stats move VERY slowly (calibrated over ~10k steps). Models accept
+# a bn_momentum override for short runs/tests.
+_BN_MOM = 0.999
 
 
 def leaky(x):
@@ -34,6 +37,7 @@ class BasicBlock(nn.Module):
     drop_rate: float = 0.0
     activate_before_residual: bool = False
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = _BN_MOM
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -41,8 +45,9 @@ class BasicBlock(nn.Module):
         equal_in_out = in_planes == self.out_planes
 
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=_BN_MOM, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
         conv = lambda feats, stride, name: nn.Conv(
             feats, (3, 3), strides=(stride, stride), padding=1, use_bias=False,
             kernel_init=conv_init, dtype=self.dtype, param_dtype=jnp.float32,
@@ -87,6 +92,7 @@ class NetworkBlock(nn.Module):
     drop_rate: float = 0.0
     activate_before_residual: bool = False
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = _BN_MOM
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -97,6 +103,7 @@ class NetworkBlock(nn.Module):
                 self.drop_rate,
                 self.activate_before_residual if i == 0 else False,
                 dtype=self.dtype,
+                bn_momentum=self.bn_momentum,
                 name=f"layer{i}",
             )(x, train)
         return x
@@ -112,6 +119,7 @@ class WideResNet(nn.Module):
     drop_rate: float = 0.0
     extra_block: bool = False  # WRN-Var (reference wrn_var.py:77-99)
     dtype: Any = jnp.bfloat16
+    bn_momentum: float = _BN_MOM
 
     @property
     def num_features(self) -> int:
@@ -137,15 +145,21 @@ class WideResNet(nn.Module):
                       param_dtype=jnp.float32, name="conv1")(x)
         out = NetworkBlock(n, channels[1], self.first_stride, self.drop_rate,
                            activate_before_residual=True, dtype=self.dtype,
+                           bn_momentum=self.bn_momentum,
                            name="block1")(out, train)
         out = NetworkBlock(n, channels[2], 2, self.drop_rate, dtype=self.dtype,
+                           bn_momentum=self.bn_momentum,
                            name="block2")(out, train)
         out = NetworkBlock(n, channels[3], 2, self.drop_rate, dtype=self.dtype,
+                           bn_momentum=self.bn_momentum,
                            name="block3")(out, train)
         if self.extra_block:
             out = NetworkBlock(n, channels[4], 2, self.drop_rate,
-                               dtype=self.dtype, name="block4")(out, train)
-        out = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOM,
+                               dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               name="block4")(out, train)
+        out = nn.BatchNorm(use_running_average=not train,
+                           momentum=self.bn_momentum,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32, name="bn1")(out)
         out = leaky(out)
@@ -169,20 +183,24 @@ def _layer_id(names: Sequence[str], num_layers: int) -> int:
     return num_layers  # bn1 / classifier
 
 
-def wrn_28_2(num_classes: int, dtype=jnp.bfloat16, **kw) -> WideResNet:
+def wrn_28_2(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,
+             **kw) -> WideResNet:
     return WideResNet(num_classes=num_classes, first_stride=1, depth=28,
-                      widen_factor=2, dtype=dtype)
+                      widen_factor=2, dtype=dtype, bn_momentum=bn_momentum)
 
 
-def wrn_28_8(num_classes: int, dtype=jnp.bfloat16, **kw) -> WideResNet:
+def wrn_28_8(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,
+             **kw) -> WideResNet:
     return WideResNet(num_classes=num_classes, first_stride=1, depth=28,
-                      widen_factor=8, dtype=dtype)
+                      widen_factor=8, dtype=dtype, bn_momentum=bn_momentum)
 
 
-def wrn_var_37_2(num_classes: int, dtype=jnp.bfloat16, **kw) -> WideResNet:
+def wrn_var_37_2(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,
+                 **kw) -> WideResNet:
     # reference wrn_var.py:166-170: first_stride=2, depth=28 + extra block
     return WideResNet(num_classes=num_classes, first_stride=2, depth=28,
-                      widen_factor=2, extra_block=True, dtype=dtype)
+                      widen_factor=2, extra_block=True, dtype=dtype,
+                      bn_momentum=bn_momentum)
 
 
 for _f in (wrn_28_2, wrn_28_8, wrn_var_37_2):

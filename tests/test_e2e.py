@@ -49,9 +49,14 @@ class TestTrainerE2E:
             np.asarray(tr.predict(tr.bundle.eval.data[:8])), rtol=1e-5)
 
     def test_synthetic_learnable(self, tmp_path):
-        """Supervised training on the blob dataset should beat chance."""
-        cfg = small_cfg(algorithm="fullysupervised", num_train_iter=60,
-                        num_eval_iter=60, lr=0.05, save_dir=str(tmp_path))
+        """Supervised training on the blob dataset should beat chance.
+        ema_m=0 (eval = live params) and a fast BN momentum — the reference
+        defaults (ema 0.999, BN torch-momentum 0.001) only calibrate over
+        thousands of steps."""
+        cfg = small_cfg(algorithm="fullysupervised", num_train_iter=120,
+                        num_eval_iter=120, num_log_iter=60, lr=0.05,
+                        batch_size=16, ema_m=0.0, save_dir=str(tmp_path))
+        cfg.extra["bn_momentum"] = 0.5
         tr = Trainer(cfg, use_mesh=False)
         res = tr.train()
         assert res["eval/top-1-acc"] > 0.5  # 4 classes, chance = 0.25
