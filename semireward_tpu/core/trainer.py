@@ -51,9 +51,28 @@ class Trainer:
 
     def __init__(self, cfg: Config, bundle: Optional[SSLDataBundle] = None,
                  use_mesh: bool = True, logger=None, alg_factory=None):
+        from semireward_tpu.data.modality import modality_of, GenericBundle
         self.cfg = cfg
         self.logger = logger or get_logger(cfg.save_name)
-        self.bundle = bundle if bundle is not None else get_dataset(cfg, cfg.algorithm)
+        self.modality = modality_of(cfg.net)
+        if bundle is not None:
+            self.bundle = bundle
+        elif self.modality == "nlp":
+            from semireward_tpu.data.nlp import (get_nlp_dataset,
+                                                 get_tokenizer, NLPCollator)
+            splits = get_nlp_dataset(cfg, cfg.algorithm)
+            self.bundle = GenericBundle(splits, cfg.num_classes)
+            self.collator = NLPCollator(get_tokenizer(cfg.net),
+                                        max_length=cfg.max_length)
+        elif self.modality == "audio":
+            from semireward_tpu.data.audio import (get_audio_dataset,
+                                                   AudioCollator)
+            splits = get_audio_dataset(cfg, cfg.algorithm)
+            self.bundle = GenericBundle(splits, cfg.num_classes)
+            self.collator = AudioCollator(cfg.max_length_seconds,
+                                          cfg.sample_rate)
+        else:
+            self.bundle = get_dataset(cfg, cfg.algorithm)
         data_info = {"ulb_dest_len": self.bundle.ulb_dest_len,
                      "lb_dest_len": self.bundle.lb_dest_len}
         if not cfg.is_regression:
@@ -95,7 +114,14 @@ class Trainer:
         )
 
         rng = prng.root_key(cfg.seed)
-        sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        if self.modality == "nlp":
+            sample = {"input_ids": jnp.zeros((2, cfg.max_length), jnp.int32),
+                      "attention_mask": jnp.ones((2, cfg.max_length), jnp.int32)}
+        elif self.modality == "audio":
+            sample = jnp.zeros(
+                (2, int(cfg.max_length_seconds * cfg.sample_rate)), jnp.float32)
+        else:
+            sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
         self.state, self.tx = init_train_state(cfg, self.alg, self.model, rng,
                                                sample, builder=builder)
         self._raw_step = make_train_step(cfg, self.alg, self.model, self.tx)
@@ -105,13 +131,28 @@ class Trainer:
         spec = self.aug_spec
         batch_keys = self.alg.BATCH_KEYS
 
+        modality = self.modality
+
         def full_step(state, raw):
             arng = jax.random.fold_in(
                 jax.random.fold_in(state.rng, state.step), 7919)
-            views = augment_views(
-                arng, raw["x_lb"], raw["x_ulb"], spec,
-                [k for k in batch_keys if k.startswith("x_")],
-                weak_ulb_s=getattr(self.alg, "WEAK_ULB_S", False))
+            if modality == "nlp":
+                # views tokenized host-side; pass through
+                views = {k: v for k, v in raw.items() if k.startswith("x_")}
+            elif modality == "audio":
+                from semireward_tpu.data.audio import strong_augment_wave
+                views = {}
+                for k, v in raw.items():
+                    if k.endswith("_base"):
+                        views[k[:-5]] = strong_augment_wave(
+                            jax.random.fold_in(arng, hash(k) % (1 << 30)), v)
+                    elif k.startswith("x_"):
+                        views[k] = v
+            else:
+                views = augment_views(
+                    arng, raw["x_lb"], raw["x_ulb"], spec,
+                    [k for k in batch_keys if k.startswith("x_")],
+                    weak_ulb_s=getattr(self.alg, "WEAK_ULB_S", False))
             batch = dict(views)
             for k in ("y_lb", "idx_lb", "idx_ulb", "y_tfe_lb"):
                 if k in raw:
@@ -146,8 +187,9 @@ class Trainer:
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out = self.model.apply(variables, normalize(x, spec.mean, spec.std),
-                                   train=False)
+            if modality == "cv":
+                x = normalize(x, spec.mean, spec.std)
+            out = self.model.apply(variables, x, train=False)
             if isinstance(out, dict):
                 return out.get(out_key, out["logits"])
             return out
@@ -161,6 +203,52 @@ class Trainer:
                                  if cfg.epoch > 0 else 0)
 
     # ------------------------------------------------------------------
+    def _make_loader(self):
+        cfg = self.cfg
+        if self.modality == "nlp":
+            from semireward_tpu.data.modality import NLPSSLLoader
+            return NLPSSLLoader(
+                {"train_lb": self.bundle.train_lb,
+                 "train_ulb": self.bundle.train_ulb},
+                self.collator, cfg.batch_size, cfg.ulb_batch_size,
+                self.alg.BATCH_KEYS, seed=cfg.seed)
+        if self.modality == "audio":
+            from semireward_tpu.data.modality import AudioSSLLoader
+            return AudioSSLLoader(
+                {"train_lb": self.bundle.train_lb,
+                 "train_ulb": self.bundle.train_ulb},
+                self.collator, cfg.batch_size, cfg.ulb_batch_size,
+                self.alg.BATCH_KEYS, seed=cfg.seed)
+        tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
+        return SSLLoader(
+            self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,
+            tfe_streams=tfe,
+            tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
+            * cfg.batch_size if tfe else 0)
+
+    def _eval_batches(self, ds):
+        """Fixed-shape eval batches per modality."""
+        cfg = self.cfg
+        if self.modality == "cv":
+            yield from eval_batches(ds, cfg.eval_batch_size)
+            return
+        n = len(ds)
+        bs = cfg.eval_batch_size
+        for start in range(0, n, bs):
+            stop = min(start + bs, n)
+            idx = np.arange(start, stop)
+            pad = bs - len(idx)
+            mask = np.ones(bs, bool)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, stop - 1)])
+                mask[bs - pad:] = False
+            y = np.asarray(ds.targets)[idx]
+            if self.modality == "nlp":
+                x = self.collator([ds.texts[i] for i in idx])
+            else:
+                x = self.collator([ds.waves[i] for i in idx])
+            yield {"x": x, "y": y, "mask": mask}
+
     def _put_batch(self, raw: Dict[str, np.ndarray]):
         if self._batch_sharding is not None:
             return {k: jax.device_put(v, self._batch_sharding)
@@ -235,12 +323,7 @@ class Trainer:
                                "NEEDS_WARMUP", False))
         if needs_wu and int(self.state.step) == 0:
             self.warmup()
-        tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
-        loader = SSLLoader(
-            self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,
-            tfe_streams=tfe,
-            tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
-            * cfg.batch_size if tfe else 0)
+        loader = self._make_loader()
         log = self.logger.info
         results: Dict[str, float] = {}
         metrics_acc = None
@@ -312,7 +395,7 @@ class Trainer:
         else:
             out_key = getattr(self.alg, "EVAL_OUT_KEY", "logits")
         preds, trues, logits_all = [], [], []
-        for b in eval_batches(ds, self.cfg.eval_batch_size):
+        for b in self._eval_batches(ds):
             logits = np.asarray(self._jit_eval(self.state, b["x"],
                                                out_key=out_key))
             logits = logits[b["mask"]]

@@ -103,10 +103,12 @@ def make_synthetic(num_classes: int, img_size: int, n_train: int = 512,
     """Class-conditional gaussian-blob images — deterministic, learnable,
     no files needed. Used by tests and the throughput benchmark."""
     rs = np.random.RandomState(seed)
+    # one shared set of class prototypes for BOTH splits (the whole point
+    # of a learnable synthetic task)
+    base = rs.randint(0, 256, (num_classes, img_size, img_size, 3))
 
     def gen(n):
         y = rs.randint(0, num_classes, n)
-        base = rs.randint(0, 256, (num_classes, img_size, img_size, 3))
         noise = rs.randint(-40, 40, (n, img_size, img_size, 3))
         x = np.clip(base[y] + noise, 0, 255).astype(np.uint8)
         return x, y.astype(np.int64)

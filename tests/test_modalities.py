@@ -1,0 +1,119 @@
+"""NLP/audio modality pipelines end-to-end on synthetic JSON/pkl fixtures
+(tiny BERT/audio geometry so CPU compiles stay fast)."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def write_nlp_fixture(root, name="tinytext", n=40, n_classes=2):
+    base = os.path.join(root, name)
+    os.makedirs(base, exist_ok=True)
+    rs = np.random.RandomState(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for split, count in (("train", n), ("dev", 12), ("test", 12)):
+        d = {}
+        for i in range(count):
+            y = int(rs.randint(n_classes))
+            text = " ".join(rs.choice(words, 5 + y * 3))
+            d[str(i)] = {"ori": text, "aug_0": text + " x", "aug_1": text + " y",
+                         "label": y}
+        with open(os.path.join(base, f"{split}.json"), "w") as f:
+            json.dump(d, f)
+    return name
+
+
+def write_audio_fixture(root, name="tinyaudio", n=40, n_classes=2, sr=1600):
+    base = os.path.join(root, name)
+    os.makedirs(base, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for split, count in (("train", n), ("dev", 12), ("test", 12)):
+        rows = []
+        for i in range(count):
+            y = int(rs.randint(n_classes))
+            wav = rs.randn(sr + rs.randint(sr)).astype(np.float32) * 0.1
+            rows.append((wav, y))
+        with open(os.path.join(base, f"{split}.pkl"), "wb") as f:
+            pickle.dump(rows, f)
+    return name
+
+
+class TestNLP:
+    def test_json_loader_and_collator(self, tmp_path, rs):
+        from semireward_tpu.data.nlp import (load_json_dataset, NLPCollator,
+                                             HashTokenizer)
+        name = write_nlp_fixture(str(tmp_path))
+        splits = load_json_dataset(str(tmp_path), name)
+        assert len(splits["train"]) == 40
+        col = NLPCollator(HashTokenizer(), max_length=32)
+        out = col.views(splits["train"], np.arange(4), rs, strong=True)
+        assert out["input_ids"].shape == (4, 32)
+        assert out["attention_mask"].shape == (4, 32)
+        assert (out["input_ids"][:, 0] == 101).all()  # CLS
+
+    def test_fixmatch_step_on_text(self, tmp_path, rs):
+        """One jitted FixMatch step through a tiny BERT on tokenized views."""
+        from semireward_tpu.models.bert import ClassificationBert
+        from semireward_tpu.config import get_config
+        from semireward_tpu.registry import ALGORITHMS
+        from semireward_tpu.core.step import init_train_state, make_train_step
+
+        cfg = get_config(dict(algorithm="fixmatch", num_classes=2,
+                              batch_size=2, uratio=1, num_train_iter=8,
+                              optim="AdamW", lr=1e-4, ema_m=0.0,
+                              max_length=16, compute_dtype="float32"))
+        model = ClassificationBert(num_classes=2, vocab_size=200, hidden=32,
+                                   layers=2, heads=2, intermediate=64,
+                                   max_position=16, dtype=jnp.float32)
+        alg = ALGORITHMS.get("fixmatch")(cfg, {"ulb_dest_len": 16})
+        sample = {"input_ids": jnp.zeros((2, 16), jnp.int32),
+                  "attention_mask": jnp.ones((2, 16), jnp.int32)}
+        state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                     sample)
+        step = jax.jit(make_train_step(cfg, alg, model, tx))
+
+        def tok(n):
+            return {"input_ids": jnp.asarray(rs.randint(1, 200, (n, 16)),
+                                             jnp.int32),
+                    "attention_mask": jnp.ones((n, 16), jnp.int32)}
+
+        batch = dict(x_lb=tok(2), y_lb=jnp.asarray([0, 1]),
+                     x_ulb_w=tok(2), x_ulb_s=tok(2),
+                     idx_ulb=jnp.asarray([0, 1], jnp.int32))
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["total_loss"]))
+
+
+class TestAudio:
+    def test_pkl_loader_and_collator(self, tmp_path, rs):
+        from semireward_tpu.data.audio import (load_pkl_dataset, AudioCollator)
+        name = write_audio_fixture(str(tmp_path))
+        splits = load_pkl_dataset(str(tmp_path), name)
+        col = AudioCollator(max_length_seconds=1.0, sample_rate=1600)
+        out = col([splits["train"].waves[i] for i in range(4)], rs)
+        assert out.shape == (4, 1600)
+
+    def test_strong_wave_transform(self, rs):
+        from semireward_tpu.data.audio import strong_augment_wave
+        x = jnp.asarray(rs.randn(4, 1600), jnp.float32)
+        out = strong_augment_wave(jax.random.PRNGKey(0), x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+        assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+class TestBio:
+    def test_kmer_encoding(self, tmp_path):
+        from semireward_tpu.data.bio import DNADataset, seq_to_kmers, kmer_to_id
+        assert seq_to_kmers("ACGTAC", 3) == ["ACG", "CGT", "GTA", "TAC"]
+        assert kmer_to_id("AAA", 3) == 5
+        assert kmer_to_id("AAC", 3) == 6
+        ds = DNADataset(["ACGTACGTAC"], np.asarray([1]), k=3, max_length=12)
+        ids = ds.encode(0)
+        assert ids.shape == (12,)
+        assert ids[0] == 2  # CLS
