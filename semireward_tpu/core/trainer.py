@@ -201,6 +201,14 @@ class Trainer:
         self._save_dir = os.path.join(cfg.save_dir, cfg.save_name)
         self._iters_per_epoch = (cfg.num_train_iter // cfg.epoch
                                  if cfg.epoch > 0 else 0)
+        from semireward_tpu.utils.metrics_sink import MetricsSink
+        self.sink = MetricsSink(self._save_dir,
+                                use_tensorboard=cfg.use_tensorboard,
+                                use_wandb=cfg.use_wandb,
+                                use_aim=cfg.use_aim, run_name=cfg.save_name,
+                                config={k: v for k, v in cfg.to_dict().items()
+                                        if isinstance(v, (int, float, str,
+                                                          bool))})
 
     # ------------------------------------------------------------------
     def _make_loader(self):
@@ -350,6 +358,9 @@ class Trainer:
                 log(f"it {step_now}/{num_iters} "
                     + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
                     + f" lr={lr:.2e} steps/s={sps:.2f}")
+                self.sink.log({**{f"train/{k}": v for k, v in fetched.items()},
+                               "lr": lr, "train/steps_per_sec": sps},
+                              step_now)
                 t0 = time.time()
 
             # host-side epoch actions (SAW/ADSH re-weighting etc.,
@@ -376,6 +387,8 @@ class Trainer:
                 log(f"eval @ {step_now}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
                     + f" (best {self.best_metric:.4f} @ {self.best_it})")
+                self.sink.log({f"eval/{k}": v for k, v in eval_m.items()},
+                              step_now)
                 results = {f"eval/{k}": v for k, v in eval_m.items()}
                 results["eval/best_acc"] = self.best_metric
                 results["eval/best_it"] = self.best_it

@@ -155,6 +155,43 @@ def _crop_flip_single(rng, img, pad: int, hflip: bool):
     return img
 
 
+def random_resized_crop(rng, batch, out_size: int,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """On-device RandomResizedCropAndInterpolation (reference
+    datasets/augmentation/transforms.py:19-180, timm-derived): sample an
+    area/aspect box per image, crop, bilinear-resize to out_size."""
+    B, H, W, C = batch.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    area = H * W * jax.random.uniform(k1, (B,), minval=scale[0],
+                                      maxval=scale[1])
+    log_ratio = jax.random.uniform(k2, (B,), minval=jnp.log(ratio[0]),
+                                   maxval=jnp.log(ratio[1]))
+    ar = jnp.exp(log_ratio)
+    w = jnp.clip(jnp.sqrt(area * ar).astype(jnp.int32), 1, W)
+    h = jnp.clip(jnp.sqrt(area / ar).astype(jnp.int32), 1, H)
+    x0 = (jax.random.uniform(k3, (B,)) * (W - w + 1)).astype(jnp.int32)
+    y0 = (jax.random.uniform(k4, (B,)) * (H - h + 1)).astype(jnp.int32)
+
+    def crop_resize(im, x0, y0, w, h):
+        # gather-based bilinear sample of the box onto the out grid
+        ys = y0 + (jnp.arange(out_size) + 0.5) * (h / out_size) - 0.5
+        xs = x0 + (jnp.arange(out_size) + 0.5) * (w / out_size) - 0.5
+        y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+        x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+        y1i = jnp.clip(y0i + 1, 0, H - 1)
+        x1i = jnp.clip(x0i + 1, 0, W - 1)
+        fy = (ys - y0i)[:, None, None]
+        fx = (xs - x0i)[None, :, None]
+        a = im[y0i][:, x0i]
+        b = im[y0i][:, x1i]
+        c = im[y1i][:, x0i]
+        d = im[y1i][:, x1i]
+        return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+                + c * fy * (1 - fx) + d * fy * fx)
+
+    return jax.vmap(crop_resize)(batch.astype(jnp.float32), x0, y0, w, h)
+
+
 def normalize(x, mean: Sequence[float], std: Sequence[float]):
     """ToTensor + Normalize: /255 then (x-mean)/std, NHWC float32."""
     m = jnp.asarray(mean, jnp.float32)
