@@ -63,22 +63,49 @@ class VAT(Algorithm):
         outs_lb, new_state = fwd(b["x_lb"], k_lb, True)
         sup_loss = self.ce_loss(outs_lb["logits"], b["y_lb"], reduction="mean")
 
-        outs_ulb, _ = fwd(b["x_ulb_w"], k_ulb, False)  # BN frozen
-        ul_y = jax.lax.stop_gradient(outs_ulb["logits"])
-
-        # --- power iteration (vat.py:79-101, num_iters=1, xi=1e-6) ---------
         x_ulb = b["x_ulb_w"]
-        d = jax.random.normal(k_d, x_ulb.shape, jnp.float32)
-        d = 1e-6 * _l2_normalize(d)
+        if cfg.vat_embed and isinstance(x_ulb, dict):
+            # NLP path (vat.py:52-58, 85-89, 106-108): perturb the word
+            # embeddings instead of the input
+            def fwd_embed(embeds, key):
+                inp = {"attention_mask": x_ulb["attention_mask"],
+                       "input_ids": x_ulb["input_ids"],
+                       "inputs_embeds": embeds}
+                o = ctx.apply_fn(variables, inp, train=True,
+                                 rngs={"dropout": key})
+                return o
 
-        def kl_of_perturb(dd):
-            out, _ = fwd(x_ulb + dd, k_adv, False)
-            return kl_div_with_logit(ul_y, out["logits"])
+            outs_ulb = ctx.apply_fn(variables, x_ulb, train=True,
+                                    rngs={"dropout": k_ulb},
+                                    return_embed=True)
+            ul_embed = jax.lax.stop_gradient(outs_ulb["embed"])
+            ul_y = jax.lax.stop_gradient(outs_ulb["logits"])
+            d = jax.random.normal(k_d, ul_embed.shape, jnp.float32)
+            d = 1e-6 * _l2_normalize(d)
 
-        grad_d = jax.grad(kl_of_perturb)(d)
-        r_adv = cfg.vat_eps * _l2_normalize(grad_d)
+            def kl_of_perturb(dd):
+                out = fwd_embed(ul_embed + dd, k_adv)
+                return kl_div_with_logit(ul_y, out["logits"])
 
-        out_adv, _ = fwd(x_ulb + jax.lax.stop_gradient(r_adv), k_adv, False)
+            grad_d = jax.grad(kl_of_perturb)(d)
+            r_adv = cfg.vat_eps * _l2_normalize(grad_d)
+            out_adv = fwd_embed(ul_embed + jax.lax.stop_gradient(r_adv), k_adv)
+        else:
+            outs_ulb, _ = fwd(x_ulb, k_ulb, False)  # BN frozen
+            ul_y = jax.lax.stop_gradient(outs_ulb["logits"])
+
+            # --- power iteration (vat.py:79-101, num_iters=1, xi=1e-6) -----
+            d = jax.random.normal(k_d, x_ulb.shape, jnp.float32)
+            d = 1e-6 * _l2_normalize(d)
+
+            def kl_of_perturb(dd):
+                out, _ = fwd(x_ulb + dd, k_adv, False)
+                return kl_div_with_logit(ul_y, out["logits"])
+
+            grad_d = jax.grad(kl_of_perturb)(d)
+            r_adv = cfg.vat_eps * _l2_normalize(grad_d)
+
+            out_adv, _ = fwd(x_ulb + jax.lax.stop_gradient(r_adv), k_adv, False)
         unsup_loss = kl_div_with_logit(ul_y, out_adv["logits"])
         loss_entmin = entropy_loss(outs_ulb["logits"])
 

@@ -130,10 +130,12 @@ class ClassificationBert(nn.Module):
                          (self.max_position, self.hidden), jnp.float32)
         tok = self.param("token_type_embeddings", bert_init,
                          (self.type_vocab, self.hidden), jnp.float32)
-        if inputs_embeds is None:
-            emb = word(ids) + pos[None, :L] + tok[0][None, None]
-        else:
-            emb = inputs_embeds
+        # HF semantics: inputs_embeds substitutes the WORD embeddings only;
+        # position/type embeddings and the LayerNorm still apply (this is
+        # what makes the reference's VAT-embed path re-embed hidden_states[0],
+        # vat.py:85-89 — quirk reproduced)
+        base = word(ids) if inputs_embeds is None else inputs_embeds
+        emb = base + pos[None, :L] + tok[0][None, None]
         emb = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                            param_dtype=jnp.float32, name="embeddings_ln")(emb)
         embed_out = emb  # hidden_states[0] for VAT (bert.py:45-46)
