@@ -91,6 +91,128 @@ class CoSSL(ImbAlgorithm):
         epoch = step // num_iter_per_epoch
         return "logits_tfe" if epoch >= self.warm_epoch else "logits"
 
+    # ---- teacher warm-start (reference cossl/utils.py:65-121
+    # classifier_warmup + TFE:124-230) ---------------------------------------
+    def on_epoch_end(self, trainer, state):
+        cfg = self.cfg
+        num_iter_per_epoch = max(cfg.num_train_iter // max(cfg.epoch, 1), 1)
+        epoch = int(state.step) // num_iter_per_epoch
+        if epoch != self.warm_epoch or getattr(self, "_warmed", False):
+            return state
+        self._warmed = True
+        trainer.logger.info("CoSSL: TFE classifier warm-up")
+        import jax as _jax
+        import optax as _optax
+        from semireward_tpu.data.augment import randaugment, weak_augment, normalize
+
+        spec = trainer.aug_spec
+        ema = state.ema_params
+        bs = int(cfg.extra.get("cossl_tfe_warm_bs", 64))
+
+        def feats_logits(params, x):
+            v = {"params": params}
+            if state.batch_stats:
+                v["batch_stats"] = state.batch_stats
+            out = trainer.model.apply(v, x, train=False)
+            return out["feat"], out["logits"]
+
+        jfl = _jax.jit(feats_logits)
+        jweak = _jax.jit(lambda k, x: weak_augment(k, x, spec))
+        jstrong = _jax.jit(lambda k, x: randaugment(k, x, spec))
+
+        def run(dataset_x, strong=False, seed=0):
+            feats, logits = [], []
+            key = _jax.random.PRNGKey(seed)
+            for s in range(0, len(dataset_x), bs):
+                xb = np.asarray(dataset_x[s:s + bs])
+                pad = bs - len(xb)
+                if pad:
+                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                key, k = _jax.random.split(key)
+                xv = (jstrong if strong else jweak)(k, jnp.asarray(xb))
+                f, lg = jfl(ema, xv)
+                feats.append(np.asarray(f)[: bs - pad or bs])
+                logits.append(np.asarray(lg)[: bs - pad or bs])
+            return np.concatenate(feats), np.concatenate(logits)
+
+        lb = trainer.bundle.train_lb
+        ulb = trainer.bundle.train_ulb
+        lb_feats, lb_logits = run(lb.data, strong=(self.tfe_augment == "strong"))
+        ulb_feats, _ = run(ulb.data, strong=True, seed=1)
+        _, ulb_logits = run(ulb.data, strong=False, seed=2)
+
+        def softmax(x):
+            e = np.exp(x - x.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        lb_probs = softmax(lb_logits)
+        ulb_probs = softmax(ulb_logits)
+        y_lb = np.asarray(lb.targets, np.int64)
+        C_ = cfg.num_classes
+        cnt = np.bincount(y_lb, minlength=C_)
+
+        rs = np.random.RandomState(cfg.seed + 13)
+        feats_aug, tgt_aug = [lb_feats], [np.eye(C_)[y_lb]]
+        for c in range(C_):
+            need = cnt.max() - cnt[c]
+            if need <= 0:
+                continue
+            cur = lb_feats[y_lb == c]
+            if len(cur) == 0:
+                continue
+            other_f = np.concatenate([lb_feats[y_lb != c], ulb_feats])
+            other_p = np.concatenate([lb_probs[y_lb != c], ulb_probs])[:, c]
+            order = np.argsort(-other_p)
+            other_f = other_f[order]
+            a_idx = rs.choice(len(cur), need, replace=True)
+            b_idx = np.arange(min(need, len(other_f)))
+            lam = rs.beta(0.75, 0.75, size=len(b_idx))[:, None]
+            mixed = lam * cur[a_idx[: len(b_idx)]] + (1 - lam) * other_f[b_idx]
+            feats_aug.append(mixed)
+            t = np.zeros((len(b_idx), C_)); t[:, c] = 1
+            tgt_aug.append(t)
+        F = np.concatenate(feats_aug).astype(np.float32)
+        T = np.concatenate(tgt_aug).astype(np.float32)
+
+        # train the teacher head on the balanced feature set
+        # (classifier_train, Adam lr 1e-3, tfe_warm_epoch epochs)
+        head = {k: np.asarray(v) for k, v in
+                state.params["teacher_classifier"].items()}
+        head = {k: jnp.asarray(v) for k, v in head.items()}
+        adam = _optax.adam(1e-3)
+        opt = adam.init(head)
+
+        def head_step(head, opt, xb, tb):
+            def loss_fn(h):
+                lg = xb @ h["kernel"] + h["bias"]
+                logp = _jax.nn.log_softmax(lg, axis=-1)
+                return -(tb * logp).sum(-1).mean()
+
+            g = _jax.grad(loss_fn)(head)
+            up, opt = adam.update(g, opt, head)
+            return _optax.apply_updates(head, up), opt
+
+        jhead = _jax.jit(head_step)
+        n_epochs = int(cfg.extra.get("cossl_tfe_warm_epoch", 1))
+        for ep in range(n_epochs):
+            perm = rs.permutation(len(F))
+            for s in range(0, len(F) - bs + 1, bs):
+                idx = perm[s:s + bs]
+                head, opt = jhead(head, opt, jnp.asarray(F[idx]),
+                                  jnp.asarray(T[idx]))
+
+        new_params = dict(state.params)
+        new_params["teacher_classifier"] = {k: jnp.asarray(v)
+                                            for k, v in head.items()}
+        new_ema = dict(state.ema_params)
+        # distinct buffers: params and ema are both donated by the jitted
+        # step — sharing one array would be a double-donation
+        new_ema["teacher_classifier"] = {k: jnp.array(v, copy=True)
+                                         for k, v in head.items()}
+        trainer.logger.info("CoSSL: teacher head warm-start done "
+                            f"({len(F)} balanced features)")
+        return state.replace(params=new_params, ema_params=new_ema)
+
     def post_loss(self, out, imb_state, ctx):
         cfg = self.cfg
         b = ctx.batch
