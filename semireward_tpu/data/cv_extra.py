@@ -128,3 +128,46 @@ def load_rcf_mnist(data_dir: str):
     (reference rcf_mnist.py, 302 LoC of on-the-fly generation; here the
     preprocessed npz)."""
     return load_regression_folder(data_dir, "rcf_mnist")
+
+
+class JPEGFolderDataset:
+    """Lazy-decode image-folder dataset (semi_aves / food101 / imagenet
+    layouts). Decoding happens per batch at gather() time — the loader-side
+    analogue of the reference's PIL-in-worker decode; resize to img_size
+    happens here so device buffers stay fixed-shape."""
+
+    def __init__(self, paths, targets, img_size: int = 224):
+        self.paths = paths
+        self.targets = np.asarray(targets)
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def gather(self, idx):
+        from PIL import Image
+
+        out = np.empty((len(idx), self.img_size, self.img_size, 3), np.uint8)
+        for j, i in enumerate(idx):
+            im = Image.open(self.paths[int(i)]).convert("RGB")
+            im = im.resize((self.img_size, self.img_size), Image.BILINEAR)
+            out[j] = np.asarray(im)
+        return out
+
+
+def get_imagenet(data_dir: str, img_size: int = 224):
+    """ImageNet folder layout (reference imagenet.py:46-169): train/ and
+    val/ class-subfolder trees."""
+    import glob
+
+    def scan(split):
+        classes = sorted(os.listdir(os.path.join(data_dir, "imagenet", split)))
+        paths, ys = [], []
+        for ci, c in enumerate(classes):
+            for f in glob.glob(os.path.join(data_dir, "imagenet", split, c,
+                                            "*.JPEG")):
+                paths.append(f)
+                ys.append(ci)
+        return JPEGFolderDataset(paths, ys, img_size)
+
+    return scan("train"), scan("val")

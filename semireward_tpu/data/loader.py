@@ -74,6 +74,16 @@ class SSLLoader:
         lb_idx = next(self._lb)
         ulb_idx = next(self._ulb)
         lb, ulb = self.bundle.train_lb, self.bundle.train_ulb
+        if hasattr(lb, "gather"):  # lazy-decode datasets (JPEG folders)
+            out = {
+                "x_lb": lb.gather(lb_idx),
+                "y_lb": lb.targets[lb_idx],
+                "idx_lb": lb_idx.astype(np.int32),
+                "x_ulb": ulb.gather(ulb_idx),
+                "y_ulb": ulb.targets[ulb_idx],
+                "idx_ulb": ulb_idx.astype(np.int32),
+            }
+            return out
         out = {
             "x_lb": lb.data[lb_idx],
             "y_lb": lb.targets[lb_idx],
