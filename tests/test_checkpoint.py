@@ -1,0 +1,64 @@
+"""Checkpoint completeness: the single-pytree save must round-trip ALL
+state — params, EMA, optimizer, algorithm statistics, and SemiReward
+(rewarder/generator/max_reward — the reference forgets these, SURVEY §5.4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import semireward_tpu  # noqa: F401
+from semireward_tpu.config import get_config
+from semireward_tpu.registry import ALGORITHMS, NETS
+from semireward_tpu.core import checkpoint as ckpt
+from semireward_tpu.core.step import init_train_state, make_train_step
+
+
+def test_sr_state_roundtrips(tmp_path, rs):
+    cfg = get_config(dict(
+        algorithm="srflexmatch", net="wrn_28_2", num_classes=4, batch_size=4,
+        uratio=1, num_train_iter=40, lr=0.01, optim="SGD", ema_m=0.999,
+        img_size=32, compute_dtype="float32", start_timing=1, N_k=2,
+        feature_dim=128, p_cutoff=0.0))
+    model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32)
+    alg = ALGORITHMS.get("srflexmatch")(cfg, {"ulb_dest_len": 32})
+    state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    step = jax.jit(make_train_step(cfg, alg, model, tx))
+    for i in range(4):
+        batch = dict(
+            x_lb=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32),
+            y_lb=jnp.asarray(rs.randint(0, 4, 4)),
+            idx_ulb=jnp.asarray(rs.choice(32, 4, replace=False), jnp.int32),
+            x_ulb_w=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32),
+            x_ulb_s=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32))
+        state, _ = step(state, batch)
+
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save_checkpoint(path, state, {"it": int(state.step)})
+    loaded, extra = ckpt.load_checkpoint(path, state)
+    assert extra["it"] == 4
+
+    # every component restored exactly, including SR + curriculum state
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(loaded.sr.max_reward) == float(state.sr.max_reward)
+    np.testing.assert_array_equal(np.asarray(loaded.algo.selected_label),
+                                  np.asarray(state.algo.selected_label))
+
+
+def test_structure_mismatch_raises(tmp_path):
+    cfg = get_config(dict(algorithm="fixmatch", net="wrn_28_2", num_classes=4,
+                          batch_size=4, compute_dtype="float32"))
+    model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32)
+    alg = ALGORITHMS.get("fixmatch")(cfg, {"ulb_dest_len": 8})
+    state, _ = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                jnp.zeros((2, 32, 32, 3)))
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save_checkpoint(path, state)
+    alg2 = ALGORITHMS.get("flexmatch")(cfg, {"ulb_dest_len": 8})
+    state2, _ = init_train_state(cfg, alg2, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(path, state2)
