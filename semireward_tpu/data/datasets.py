@@ -99,9 +99,10 @@ def _load_cifar100(data_dir: str):
 
 
 def make_synthetic(num_classes: int, img_size: int, n_train: int = 512,
-                   n_test: int = 128, seed: int = 0):
+                   n_test: int = 128, seed: int = 0, noise: int = 40):
     """Class-conditional gaussian-blob images — deterministic, learnable,
-    no files needed. Used by tests and the throughput benchmark."""
+    no files needed. Used by tests and the throughput benchmark. ``noise``
+    controls task difficulty (higher -> harder, for SSL-gain validation)."""
     rs = np.random.RandomState(seed)
     # one shared set of class prototypes for BOTH splits (the whole point
     # of a learnable synthetic task)
@@ -109,8 +110,8 @@ def make_synthetic(num_classes: int, img_size: int, n_train: int = 512,
 
     def gen(n):
         y = rs.randint(0, num_classes, n)
-        noise = rs.randint(-40, 40, (n, img_size, img_size, 3))
-        x = np.clip(base[y] + noise, 0, 255).astype(np.uint8)
+        eps = rs.randint(-noise, noise, (n, img_size, img_size, 3))
+        x = np.clip(base[y] + eps, 0, 255).astype(np.uint8)
         return x, y.astype(np.int64)
 
     return gen(n_train), gen(n_test)
@@ -171,7 +172,8 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
         n_train = int(cfg.extra.get("synthetic_train", 2048))
         n_test = int(cfg.extra.get("synthetic_test", 256))
         (data, targets), (tdata, ttargets) = make_synthetic(
-            cfg.num_classes, cfg.img_size, n_train, n_test, seed=cfg.seed)
+            cfg.num_classes, cfg.img_size, n_train, n_test, seed=cfg.seed,
+            noise=int(cfg.extra.get("synthetic_noise", 40)))
         mean, std = MEAN["synthetic"], STD["synthetic"]
         num_classes = cfg.num_classes
     else:
