@@ -60,15 +60,13 @@ class AudioCollator:
         self.T = int(max_length_seconds * sample_rate)
 
     def __call__(self, waves, rng: Optional[np.random.RandomState] = None):
-        out = np.zeros((len(waves), self.T), np.float32)
-        for i, w in enumerate(waves):
-            if len(w) >= self.T:
-                start = (rng.randint(0, len(w) - self.T + 1)
-                         if rng is not None and len(w) > self.T else 0)
-                out[i] = w[start:start + self.T]
-            else:
-                out[i, :len(w)] = w
-        return out
+        starts = np.zeros(len(waves), np.int64)
+        if rng is not None:
+            for i, w in enumerate(waves):
+                if len(w) > self.T:
+                    starts[i] = rng.randint(0, len(w) - self.T + 1)
+        from semireward_tpu.data import _native
+        return _native.crop_pad_f32(waves, starts, self.T)
 
 
 # ---------------------------------------------------------------------------

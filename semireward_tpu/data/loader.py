@@ -14,6 +14,15 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from semireward_tpu.data.datasets import ArrayDataset, SSLDataBundle
+from semireward_tpu.data import _native
+
+
+def _gather(arr, idx):
+    """Row gather through the native threaded path when built
+    (data/_native/fastbatch.cpp), numpy fancy-indexing otherwise."""
+    if isinstance(arr, np.ndarray) and arr.ndim >= 2 and arr.nbytes > (1 << 20):
+        return _native.gather_rows(arr, idx)
+    return arr[idx]
 
 
 def infinite_indices(n: int, seed: int, rank: int = 0, world: int = 1
@@ -85,10 +94,10 @@ class SSLLoader:
             }
             return out
         out = {
-            "x_lb": lb.data[lb_idx],
+            "x_lb": _gather(lb.data, lb_idx),
             "y_lb": lb.targets[lb_idx],
             "idx_lb": lb_idx.astype(np.int32),
-            "x_ulb": ulb.data[ulb_idx],
+            "x_ulb": _gather(ulb.data, ulb_idx),
             "y_ulb": ulb.targets[ulb_idx],
             "idx_ulb": ulb_idx.astype(np.int32),
         }

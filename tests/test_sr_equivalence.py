@@ -1,0 +1,102 @@
+"""SR-wrapper invariants:
+- before start_timing the sr* variant's MODEL update is identical to the
+  base algorithm's (reward filtering off; rewarder training touches only
+  rewarder params)
+- the regression branch of (sr)pseudolabel runs with float targets
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import semireward_tpu  # noqa: F401
+from semireward_tpu.config import get_config
+from semireward_tpu.registry import ALGORITHMS, NETS
+from semireward_tpu.core.step import init_train_state, make_train_step
+
+
+def build(alg, **over):
+    kw = dict(algorithm=alg, net="wrn_28_2", num_classes=4, batch_size=4,
+              uratio=1, num_train_iter=40, lr=0.01, optim="SGD", ema_m=0.999,
+              img_size=32, compute_dtype="float32", start_timing=10 ** 6,
+              N_k=2, feature_dim=128)
+    kw.update(over)
+    cfg = get_config(kw)
+    model = NETS.get("wrn_28_2")(num_classes=cfg.num_classes,
+                                 dtype=jnp.float32)
+    a = ALGORITHMS.get(alg)(cfg, {"ulb_dest_len": 32})
+    state, tx = init_train_state(cfg, a, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    return cfg, state, jax.jit(make_train_step(cfg, a, model, tx))
+
+
+def batches(rs, n_steps, n=4, C=4):
+    out = []
+    for _ in range(n_steps):
+        out.append(dict(
+            x_lb=jnp.asarray(rs.randn(n, 32, 32, 3), jnp.float32),
+            y_lb=jnp.asarray(rs.randint(0, C, n)),
+            idx_ulb=jnp.asarray(rs.choice(32, n, replace=False), jnp.int32),
+            x_ulb_w=jnp.asarray(rs.randn(n, 32, 32, 3), jnp.float32),
+            x_ulb_s=jnp.asarray(rs.randn(n, 32, 32, 3), jnp.float32)))
+    return out
+
+
+def test_sr_matches_base_before_start_timing():
+    rs = np.random.RandomState(0)
+    bs = batches(rs, 3)
+    _, s_base, step_base = build("flexmatch")
+    _, s_sr, step_sr = build("srflexmatch")
+    for b in bs:
+        s_base, m_base = step_base(s_base, b)
+        s_sr, m_sr = step_sr(s_sr, b)
+    np.testing.assert_allclose(float(m_base["total_loss"]),
+                               float(m_sr["total_loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_base.params),
+                     jax.tree_util.tree_leaves(s_sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # and the rewarder HAS been training meanwhile (stage 1)
+    assert s_sr.sr is not None
+
+
+def test_pseudolabel_regression_branch():
+    rs = np.random.RandomState(0)
+    cfg = get_config(dict(
+        algorithm="pseudolabel", net="wrn_28_2", num_classes=1, batch_size=4,
+        uratio=1, num_train_iter=40, lr=0.01, optim="SGD", ema_m=0.0,
+        img_size=32, compute_dtype="float32", is_regression=True,
+        reg_loss="l1_loss"))
+    model = NETS.get("wrn_28_2")(num_classes=1, dtype=jnp.float32)
+    a = ALGORITHMS.get("pseudolabel")(cfg, {"ulb_dest_len": 32})
+    state, tx = init_train_state(cfg, a, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    step = jax.jit(make_train_step(cfg, a, model, tx))
+    batch = dict(
+        x_lb=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32),
+        y_lb=jnp.asarray(rs.rand(4), jnp.float32),      # float targets
+        x_ulb_w=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32))
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_srpseudolabel_regression_branch():
+    rs = np.random.RandomState(0)
+    cfg = get_config(dict(
+        algorithm="srpseudolabel", net="wrn_28_2", num_classes=1, batch_size=4,
+        uratio=1, num_train_iter=40, lr=0.01, optim="SGD", ema_m=0.0,
+        img_size=32, compute_dtype="float32", is_regression=True,
+        reg_loss="l1_loss", start_timing=1, N_k=2, feature_dim=128))
+    model = NETS.get("wrn_28_2")(num_classes=1, dtype=jnp.float32)
+    a = ALGORITHMS.get("srpseudolabel")(cfg, {"ulb_dest_len": 32})
+    state, tx = init_train_state(cfg, a, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    step = jax.jit(make_train_step(cfg, a, model, tx))
+    for i in range(4):
+        batch = dict(
+            x_lb=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32),
+            y_lb=jnp.asarray(rs.rand(4), jnp.float32),
+            idx_ulb=jnp.asarray(rs.choice(32, 4, replace=False), jnp.int32),
+            x_ulb_w=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32))
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["total_loss"]))
