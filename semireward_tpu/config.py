@@ -206,8 +206,9 @@ _BOOL_FIELDS = {
 
 
 def _coerce(name: str, value: Any) -> Any:
-    """YAML sometimes carries 'True'/'False'/'None' strings (the reference
-    writes them via str formatting in scripts/config_generator_*.py)."""
+    """YAML/CLI values arrive as strings ('True', '4', '0.03', '(1,)') —
+    the reference's argparse types do this coercion per-flag
+    (train.py:29-269); here it is generic."""
     if isinstance(value, str):
         v = value.strip()
         if v in ("True", "true"):
@@ -216,6 +217,21 @@ def _coerce(name: str, value: Any) -> Any:
             return False
         if v in ("None", "null", ""):
             return None
+        if v.startswith(("(", "[")) and v.endswith((")", "]")):
+            try:
+                import ast
+
+                return tuple(ast.literal_eval(v))
+            except (ValueError, SyntaxError):
+                return value
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            pass
     return value
 
 

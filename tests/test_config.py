@@ -72,3 +72,27 @@ class TestGenerator:
         cfg = config_lib.from_yaml(str(path))
         assert cfg.algorithm == "srflexmatch"
         assert cfg.start_timing == 20000
+
+
+class TestCLI:
+    def test_train_cli_smoke(self, tmp_path):
+        """python train.py end-to-end on synthetic data (4 steps)."""
+        import subprocess, sys, os
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, "train.py", "--algorithm", "fixmatch",
+             "--net", "wrn_28_2", "--dataset", "synthetic",
+             "--num_classes", "4", "--num_labels", "16",
+             "--batch_size", "4", "--uratio", "1",
+             "--num_train_iter", "4", "--num_eval_iter", "4",
+             "--num_log_iter", "2", "--optim", "SGD", "--lr", "0.01",
+             "--img_size", "32", "--compute_dtype", "float32",
+             "--save_dir", str(tmp_path), "--save_name", "cli",
+             "--mesh_shape", "(1,)"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "top-1-acc" in out.stdout + out.stderr
+        assert (tmp_path / "cli" / "latest_model.ckpt").exists()
