@@ -84,13 +84,13 @@ class TestCLI:
         out = subprocess.run(
             [sys.executable, "train.py", "--algorithm", "fixmatch",
              "--net", "wrn_28_2", "--dataset", "synthetic",
-             "--num_classes", "4", "--num_labels", "16",
-             "--batch_size", "4", "--uratio", "1",
+             "--num_classes", "4", "--num_labels", "16", "--eval_batch_size", "8",
+             "--batch_size", "8", "--uratio", "1",
              "--num_train_iter", "4", "--num_eval_iter", "4",
              "--num_log_iter", "2", "--optim", "SGD", "--lr", "0.01",
              "--img_size", "32", "--compute_dtype", "float32",
              "--save_dir", str(tmp_path), "--save_name", "cli",
-             "--mesh_shape", "(1,)"],
+             "--mesh_shape", "(-1,)"],
             capture_output=True, text=True, timeout=600, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         assert out.returncode == 0, out.stderr[-2000:]
