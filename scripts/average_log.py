@@ -4,6 +4,11 @@ files for best/top-1 accuracy curves, average the last 1/20/50 evals across
 seeds."""
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import re

@@ -10,6 +10,11 @@ Usage: python scripts/config_generator.py --suite usb_cv --out config/
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 
