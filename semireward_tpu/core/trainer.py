@@ -232,7 +232,8 @@ class Trainer:
             self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,
             tfe_streams=tfe,
             tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
-            * cfg.batch_size if tfe else 0)
+            * cfg.batch_size if tfe else 0,
+            sampler=cfg.train_sampler)
 
     def _eval_batches(self, ds):
         """Fixed-shape eval batches per modality."""

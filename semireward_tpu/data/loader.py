@@ -52,13 +52,30 @@ class SSLLoader:
     def __init__(self, bundle: SSLDataBundle, batch_size: int,
                  ulb_batch_size: int, seed: int = 0, rank: int = 0,
                  world: int = 1, tfe_streams: bool = False,
-                 tfe_ulb_batch_size: int = 0):
+                 tfe_ulb_batch_size: int = 0, sampler: str = "RandomSampler"):
         self.bundle = bundle
         self.batch_size = batch_size
         self.ulb_batch_size = ulb_batch_size
-        self._lb = batched(
-            infinite_indices(len(bundle.train_lb), seed, rank, world),
-            batch_size)
+        if sampler == "WeightedRandomSampler":
+            # name2sampler's weighted variant (reference
+            # datasets/samplers/sampler.py:148): labeled stream reweighted
+            # toward class balance
+            targets = np.asarray(bundle.train_lb.targets, np.int64)
+            cnt = np.bincount(targets,
+                              minlength=bundle.num_classes).astype(np.float64)
+            w = (1.0 / np.maximum(cnt, 1))[targets]
+            w = w / w.sum()
+            rs = np.random.RandomState(seed)
+
+            def weighted():
+                while True:
+                    yield int(rs.choice(len(targets), p=w))
+
+            self._lb = batched(weighted(), batch_size)
+        else:
+            self._lb = batched(
+                infinite_indices(len(bundle.train_lb), seed, rank, world),
+                batch_size)
         self._ulb = batched(
             infinite_indices(len(bundle.train_ulb), seed + 1, rank, world),
             ulb_batch_size)
