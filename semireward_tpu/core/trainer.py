@@ -396,6 +396,21 @@ class Trainer:
                 if eval_hook:
                     eval_hook(step_now, eval_m)
                 t0 = time.time()
+
+        # after_run protocol (reference hooks/evaluation.py:31-54): reload
+        # the best checkpoint and evaluate the test split when one exists
+        test_ds = getattr(self.bundle, "test", None)
+        best_path = os.path.join(self._save_dir, "model_best.ckpt")
+        if test_ds is not None and os.path.exists(best_path):
+            cur = self.state
+            try:
+                self.state, _ = ckpt.load_checkpoint(best_path, self.state)
+                test_m = self.evaluate(split="test")
+                results.update({f"test/{k}": v for k, v in test_m.items()})
+                log("test (best ckpt): "
+                    + " ".join(f"{k}={v:.4f}" for k, v in test_m.items()))
+            finally:
+                self.state = cur
         return results
 
     # lighting-compatible alias (reference lighting/trainer.py:188)
@@ -403,7 +418,10 @@ class Trainer:
         return self.train(*a, **kw)
 
     def evaluate(self, split: str = "eval") -> Dict[str, float]:
-        ds = self.bundle.eval
+        ds = (getattr(self.bundle, "test", None)
+              if split == "test" else self.bundle.eval)
+        if ds is None:
+            ds = self.bundle.eval
         if hasattr(self.alg, "eval_out_key"):
             out_key = self.alg.eval_out_key(int(self.state.step))
         else:
