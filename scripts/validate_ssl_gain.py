@@ -16,13 +16,15 @@ import argparse
 import json
 
 
-def run(algorithm: str, iters: int, labels: int, seed: int = 0):
+def run(algorithm: str, iters: int, labels: int, seed: int = 0,
+        lambda_u: float = 1.0):
     import jax.numpy as jnp
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
     cfg = get_config(dict(
-        algorithm=algorithm, net="wrn_28_2", dataset="synthetic",
+        algorithm=algorithm, ulb_loss_ratio=lambda_u,
+        net="wrn_28_2", dataset="synthetic",
         num_classes=4, num_labels=labels, batch_size=8, uratio=4,
         eval_batch_size=64, img_size=32, num_train_iter=iters,
         num_eval_iter=iters, num_log_iter=max(iters // 4, 1),
@@ -45,8 +47,11 @@ def main():
 
     sup, ssl = [], []
     for s in range(args.seeds):
-        sup.append(run("supervised", args.iters, args.labels, s))
-        ssl.append(run("fixmatch", args.iters, args.labels, s))
+        # labeled-only baseline: same algorithm/schedule with the unlabeled
+        # loss zeroed (the reference's 'fullysupervised' uses ALL labels —
+        # an upper bound, not the baseline)
+        sup.append(run("fixmatch", args.iters, args.labels, s, lambda_u=0.0))
+        ssl.append(run("fixmatch", args.iters, args.labels, s, lambda_u=1.0))
     out = {"supervised_acc": sup, "fixmatch_acc": ssl,
            "gain": sum(ssl) / len(ssl) - sum(sup) / len(sup)}
     print(json.dumps(out))

@@ -337,12 +337,15 @@ class Trainer:
         results: Dict[str, float] = {}
         metrics_acc = None
         t0 = time.time()
+        prefetch_acc = 0.0  # reference TimerHook's train/prefetch_time
         prefetched = self._put_batch(next(loader))
         start_it = int(self.state.step)
         for it in range(start_it, num_iters):
             raw = prefetched
             self.state, metrics = self._jit_step(self.state, raw)
+            tp = time.time()
             prefetched = self._put_batch(next(loader))  # overlap with step
+            prefetch_acc += time.time() - tp
             metrics_acc = metrics  # async device values; fetched on log only
 
             step_now = it + 1
@@ -359,9 +362,14 @@ class Trainer:
                 log(f"it {step_now}/{num_iters} "
                     + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
                     + f" lr={lr:.2e} steps/s={sps:.2f}")
+                n = max(cfg.num_log_iter, 1)
                 self.sink.log({**{f"train/{k}": v for k, v in fetched.items()},
-                               "lr": lr, "train/steps_per_sec": sps},
+                               "lr": lr, "train/steps_per_sec": sps,
+                               "train/prefetch_time": prefetch_acc / n,
+                               "train/run_time": max(dt / n - prefetch_acc / n,
+                                                     0.0)},
                               step_now)
+                prefetch_acc = 0.0
                 t0 = time.time()
 
             # host-side epoch actions (SAW/ADSH re-weighting etc.,
