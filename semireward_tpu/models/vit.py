@@ -77,9 +77,8 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
-        if train:
-            # training path: fused einsum chain (differentiable; XLA tiles
-            # it onto the MXU at USB sequence lengths) + attention dropout
+        if train and self.attn_drop > 0:
+            # attention-prob dropout needs the materialized matrix
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)
             attn = jax.nn.softmax(attn, axis=-1)
@@ -87,8 +86,9 @@ class Attention(nn.Module):
             out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v,
                              preferred_element_type=jnp.float32)
         else:
-            # inference: Pallas flash attention (ops/attention.py) — O(N*d)
-            # HBM traffic; falls back to einsum for small/non-TPU cases
+            # Pallas flash attention (ops/attention.py), forward AND custom-
+            # VJP backward — O(N*d) HBM traffic in training too; falls back
+            # to einsum for small sequences / non-TPU backends
             from semireward_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
         out = out.reshape(B, N, C).astype(self.dtype)
