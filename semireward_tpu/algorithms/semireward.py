@@ -163,6 +163,19 @@ def init_sr_state(cfg, rng) -> SRState:
     )
 
 
+def score_pseudo_labels(cfg, sr_state: SRState, feats, labels):
+    """Standalone reward scoring (the SemiReward inference primitive):
+    returns (rewards [B,1], keep_mask [B]) with the reference's
+    reward >= mean(reward) filter (srflexmatch.py:99-101). Jit-safe."""
+    ldim = label_dim(cfg.num_classes)
+    rewarder = Rewarder(label_dim=ldim, label_embedding_dim=128,
+                        feature_dim=cfg.feature_dim)
+    reward = rewarder.apply({"params": sr_state.rewarder_params}, feats,
+                            labels)
+    keep = (reward >= reward.mean()).squeeze(-1).astype(jnp.float32)
+    return reward, keep
+
+
 def sr_decay(step, num_train_iter: int, max_sampling_time: int = 8):
     """reference algorithmbase.py:177-183 — int(max(8, 1 + T/it))."""
     it = jnp.maximum(step.astype(jnp.float32), 1.0)
