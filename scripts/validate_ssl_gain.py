@@ -31,8 +31,11 @@ def run(algorithm: str, iters: int, labels: int, seed: int = 0,
         optim="SGD", lr=0.03, ema_m=0.0, p_cutoff=0.95, seed=seed,
         save_dir="/tmp/ssl_gain", save_name=f"{algorithm}_{seed}",
         mesh_shape=(-1,)))
+    # color ops would scramble color-defined blob classes — use the
+    # no-color RandAugment variant (a reference feature, medmnist.py:891)
     cfg.extra.update(synthetic_train=2048, synthetic_test=512,
-                     bn_momentum=0.9, synthetic_noise=110)
+                     bn_momentum=0.9, synthetic_noise=110,
+                     randaug_no_color=True)
     tr = Trainer(cfg)
     res = tr.train()
     return res["eval/top-1-acc"]

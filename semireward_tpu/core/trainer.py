@@ -106,11 +106,15 @@ class Trainer:
         self.model = self.alg.wrap_model(self.model)
 
         self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
+        # the reference uses the no-color RandAugment for tissuemnist
+        # (medmnist.py:891); configurable via extra['randaug_no_color']
+        no_color = bool(cfg.extra.get(
+            "randaug_no_color", cfg.dataset in ("tissuemnist", "medmnist")))
         self.aug_spec = AugmentSpec(
             crop_size=cfg.img_size,
             crop_pad=int(cfg.img_size * (1 - cfg.crop_ratio)),
             mean=self.bundle.mean, std=self.bundle.std,
-            randaug_n=3,
+            randaug_n=3, exclude_color=no_color,
         )
 
         rng = prng.root_key(cfg.seed)
