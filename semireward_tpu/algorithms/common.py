@@ -397,6 +397,31 @@ def dist_align_queue(
 # Misc shared ops (reference algorithms/utils/ops.py:49-74)
 # ---------------------------------------------------------------------------
 
+def concat_all_gather(x, axis_name: str = "data"):
+    """Cross-replica gather (reference algorithms/utils/ops.py:34-45).
+    Only needed under shard_map/pmap with a named axis — under plain pjit
+    every batch-mean below is already global. No gradient, like the
+    reference's torch.distributed.all_gather."""
+    g = jax.lax.all_gather(jax.lax.stop_gradient(x), axis_name)
+    return g.reshape((-1,) + x.shape[1:])
+
+
+def interleave(xy, batch):
+    """Kept for API parity; the reference marks it 'not used'
+    (algorithms/utils/ops.py:8-31)."""
+    nu = len(xy) - 1
+    groups = [batch // (nu + 1)] * (nu + 1)
+    for x in range(batch - sum(groups)):
+        groups[-x - 1] += 1
+    offsets = [0]
+    for g in groups:
+        offsets.append(offsets[-1] + g)
+    xy = [[v[offsets[p]:offsets[p + 1]] for p in range(nu + 1)] for v in xy]
+    for i in range(1, nu + 1):
+        xy[0][i], xy[i][i] = xy[i][i], xy[0][i]
+    return [jnp.concatenate(v, axis=0) for v in xy]
+
+
 def mixup_one_target(rng, x, y, alpha: float = 1.0, is_bias: bool = False):
     k1, k2 = jax.random.split(rng)
     if alpha > 0:
