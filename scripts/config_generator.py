@@ -65,6 +65,19 @@ SUITES = {
             "yelp_review": (5, 0, [250, 1000]),
         },
     },
+    # pod-scale stretch (BASELINE.json configs[4]): ImageNet-1k ViT-B
+    # FreeMatch+SemiReward over a 2-D (data, fsdp) mesh
+    "imagenet_stretch": {
+        "net": "vit_base_patch16_224", "optim": "AdamW", "lr": 1e-3,
+        "weight_decay": 0.05, "layer_decay": 0.75,
+        "num_train_iter": 1 << 20, "num_eval_iter": 10240, "batch_size": 256,
+        "uratio": 1, "use_pretrain": False, "ema_m": 0.999,
+        "datasets": {
+            "imagenet": (1000, 224, [100000]),
+        },
+        "extra": {"mesh_shape": (-1, 4), "mesh_axes": ("data", "fsdp"),
+                  "gradient_checkpointing": True},
+    },
     "usb_audio": {
         "net": "hubert_base", "optim": "AdamW", "lr": 5e-5,
         "weight_decay": 1e-4, "layer_decay": 0.75,
@@ -122,6 +135,7 @@ def create_configuration(suite: str, alg: str, dataset: str, num_labels: int,
         "seed": seed,
         "use_pretrain": sp["use_pretrain"],
     }
+    cfg.update(sp.get("extra", {}))
     if alg.startswith("sr"):
         extra = dict(SR_EXTRA)
         if suite in ("usb_nlp", "usb_audio"):
