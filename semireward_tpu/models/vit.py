@@ -153,6 +153,7 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     init_values: Optional[float] = None
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # jax.checkpoint each block (HBM <-> recompute)
 
     @property
     def num_features(self) -> int:
@@ -192,11 +193,13 @@ class VisionTransformer(nn.Module):
         # stochastic-depth decay rule (static python floats, jit-safe)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        block_cls = (nn.remat(Block, static_argnums=(2,))
+                     if self.remat else Block)
         for i in range(self.depth):
-            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      self.qkv_bias, self.drop_rate, self.attn_drop_rate,
-                      dpr[i], self.init_values, dtype=self.dtype,
-                      name=f"blocks{i}")(x, train)
+            x = block_cls(self.embed_dim, self.num_heads, self.mlp_ratio,
+                          self.qkv_bias, self.drop_rate, self.attn_drop_rate,
+                          dpr[i], self.init_values, dtype=self.dtype,
+                          name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"
         if not use_fc_norm:
@@ -229,7 +232,8 @@ def _layer_id(names: Sequence[str], num_layers: int) -> int:
 def _builder(name, **cfg):
     def build(num_classes: int, dtype=jnp.bfloat16, **kw) -> VisionTransformer:
         merged = dict(cfg)
-        merged.update({k: v for k, v in kw.items() if k in VisionTransformer.__annotations__})
+        merged.update({k: v for k, v in kw.items()
+                       if k in VisionTransformer.__annotations__})
         return VisionTransformer(num_classes=num_classes, dtype=dtype, **merged)
 
     build.__name__ = name
