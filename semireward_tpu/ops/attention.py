@@ -63,7 +63,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+    qi = pl.program_id(1)
+    lse_ref[0, 0, pl.ds(qi * bq, bq)] = (m + jnp.log(l)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -74,9 +75,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, seq_len):
     q = q_ref[0].astype(jnp.float32)                    # [bq, d]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].astype(jnp.float32)                # [bq]
-    delta = delta_ref[0].astype(jnp.float32)            # [bq]
     bq, d = q.shape
+    qi = pl.program_id(1)
+    lse = lse_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.float32)    # [bq]
+    delta = delta_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.float32)
     num_kb = pl.cdiv(seq_len, block_k)
 
     def body(i, dq):
@@ -112,8 +114,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         # mask padded KEY columns and padded QUERY rows
@@ -161,7 +163,7 @@ def _fwd_call(qp, kp, vp, scale, seq_len, interpret=False):
         functools.partial(_fwd_kernel, scale=scale, block_k=_BK,
                           seq_len=seq_len),
         out_shape=(jax.ShapeDtypeStruct((BH, Np, Dp), qp.dtype),
-                   jax.ShapeDtypeStruct((BH, Np), jnp.float32)),
+                   jax.ShapeDtypeStruct((BH, 1, Np), jnp.float32)),
         grid=(BH, Np // _BQ),
         in_specs=[
             pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
@@ -169,7 +171,7 @@ def _fwd_call(qp, kp, vp, scale, seq_len, interpret=False):
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
-                   pl.BlockSpec((1, _BQ), lambda b, i: (b, i))),
+                   pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0))),
         interpret=interpret,
     )(qp, kp, vp)
     return out, lse
@@ -193,7 +195,7 @@ def _flash_bwd(true_d, seq_len, interpret, res, do):
     scale = 1.0 / math.sqrt(true_d)
     do = do.astype(q.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)  # [BH, Np]
+                    axis=-1)[:, None, :]  # [BH, 1, Np]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=_BK,
@@ -205,8 +207,8 @@ def _flash_bwd(true_d, seq_len, interpret, res, do):
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),    # k
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),    # v
             pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),   # do
-            pl.BlockSpec((1, _BQ), lambda b, i: (b, i)),          # lse
-            pl.BlockSpec((1, _BQ), lambda b, i: (b, i)),          # delta
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),     # lse
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),     # delta
         ],
         out_specs=pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
         interpret=interpret,
@@ -223,8 +225,8 @@ def _flash_bwd(true_d, seq_len, interpret, res, do):
             pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),   # k
             pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),   # v
             pl.BlockSpec((1, Np, Dp), lambda b, j: (b, 0, 0)),    # do
-            pl.BlockSpec((1, Np), lambda b, j: (b, 0)),           # lse
-            pl.BlockSpec((1, Np), lambda b, j: (b, 0)),           # delta
+            pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0)),     # lse
+            pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0)),     # delta
         ],
         out_specs=(pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),
                    pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0))),
