@@ -87,6 +87,8 @@ class Trainer:
             net_kw["bn_momentum"] = float(cfg.extra["bn_momentum"])
         if cfg.gradient_checkpointing:
             net_kw["remat"] = True
+        if cfg.extra.get("use_flash_attention"):
+            net_kw["use_flash"] = True
         self.model = builder(num_classes=cfg.num_classes,
                              dtype=_model_dtype(cfg), img_size=cfg.img_size,
                              **net_kw)

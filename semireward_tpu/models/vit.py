@@ -64,6 +64,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Any = jnp.bfloat16
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -77,20 +78,20 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
-        if train and self.attn_drop > 0:
-            # attention-prob dropout needs the materialized matrix
+        if self.use_flash and not (train and self.attn_drop > 0):
+            # Pallas flash attention (ops/attention.py), forward AND custom-
+            # VJP backward — O(N*d) HBM traffic. Opt-in: at USB sequence
+            # lengths (<=512) XLA's fused einsum wins (fewer kernel
+            # launches); flash pays off for long-sequence stretch configs.
+            from semireward_tpu.ops.attention import flash_attention
+            out = flash_attention(q, k, v)
+        else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v,
                              preferred_element_type=jnp.float32)
-        else:
-            # Pallas flash attention (ops/attention.py), forward AND custom-
-            # VJP backward — O(N*d) HBM traffic in training too; falls back
-            # to einsum for small sequences / non-TPU backends
-            from semireward_tpu.ops.attention import flash_attention
-            out = flash_attention(q, k, v)
         out = out.reshape(B, N, C).astype(self.dtype)
         out = nn.Dense(C, kernel_init=torch_default_init,
                        bias_init=torch_bias_init, dtype=self.dtype,
@@ -109,13 +110,15 @@ class Block(nn.Module):
     drop_path: float = 0.0
     init_values: Optional[float] = None
     dtype: Any = jnp.bfloat16
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                        param_dtype=jnp.float32, name=name)
         h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
-                      self.drop, dtype=self.dtype, name="attn")(
+                      self.drop, dtype=self.dtype,
+                      use_flash=self.use_flash, name="attn")(
             ln("norm1")(x).astype(self.dtype), train)
         if self.init_values:
             gamma1 = self.param("ls1", nn.initializers.constant(self.init_values),
@@ -154,6 +157,7 @@ class VisionTransformer(nn.Module):
     init_values: Optional[float] = None
     dtype: Any = jnp.bfloat16
     remat: bool = False  # jax.checkpoint each block (HBM <-> recompute)
+    use_flash: bool = False  # Pallas flash attention (long-seq configs)
 
     @property
     def num_features(self) -> int:
@@ -199,6 +203,7 @@ class VisionTransformer(nn.Module):
             x = block_cls(self.embed_dim, self.num_heads, self.mlp_ratio,
                           self.qkv_bias, self.drop_rate, self.attn_drop_rate,
                           dpr[i], self.init_values, dtype=self.dtype,
+                          use_flash=self.use_flash,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"
