@@ -96,18 +96,106 @@ SUITES = {
 SR_EXTRA = {"start_timing": 20000, "feature_dim": 384, "sr_lr": 0.0005,
             "N_k": 10, "sr_ema": False, "sr_ema_m": 0.99}
 
+# classic_cv_imb (reference config/classic_cv_imb/, 284 YAMLs): long-tailed
+# splits as (num_labels, lb_imb_ratio, ulb_num_labels, ulb_imb_ratio).
+# A negative ulb gamma means the unlabeled tail is reversed.
+IMB_SETTINGS = {
+    "cifar10": [(500, 100, 4000, 100), (500, 100, 4000, -100),
+                (500, 150, 4000, 150), (1500, 100, 3000, 100),
+                (1500, 100, 3000, -100), (1500, 150, 3000, 150)],
+    "cifar100": [(150, 10, 300, 10), (150, 10, 300, -10),
+                 (150, 15, 300, 15)],
+    "stl10": [(150, 10, None, 1.0), (150, 20, None, 1.0)],
+    "imagenet127": [(12810, 286, None, 286), (128101, 286, None, 286)],
+}
+IMB_NUM_CLASSES = {"cifar10": 10, "cifar100": 100, "stl10": 10,
+                   "imagenet127": 127}
+IMB_BASE_ALGS = ["fixmatch", "remixmatch", "supervised"]
+# Wrapper availability mirrors the reference corpus (adsh/tras: fixmatch
+# only; supervised: no wrappers; 'simis' appears in the reference's config
+# tree but has NO implementation under semilearn/imb_algorithms/ — omitted).
+IMB_WRAPPERS = [None, "abc", "adsh", "cossl", "crest", "crest+", "darp",
+                "daso", "debiaspl", "saw", "tras"]
+FIXMATCH_ONLY_WRAPPERS = {"adsh", "tras"}
+
+
+def create_imb_configuration(base_alg: str, imb: "str | None", dataset: str,
+                             setting, seed: int, out_dir: str):
+    nl, lb_gamma, ulb_n, ulb_gamma = setting
+    on_imagenet = dataset == "imagenet127"
+    dir_name = base_alg if imb is None else f"{base_alg}_{imb}"
+    name = (f"{dir_name}_{dataset}_lb{nl}_{lb_gamma}"
+            f"_ulb{ulb_n if ulb_n is not None else 'None'}_{ulb_gamma}_{seed}")
+    cfg = {
+        "algorithm": base_alg,
+        "save_dir": "./saved_models/classic_cv_imb",
+        "save_name": name,
+        "resume": True,
+        "load_path": f"./saved_models/classic_cv_imb/{name}/latest_model.ckpt",
+        "overwrite": True,
+        "epoch": 200 if on_imagenet else 256,
+        "num_train_iter": 500000 if on_imagenet else 262144,
+        "num_eval_iter": 1024,
+        "num_log_iter": 256,
+        "num_labels": nl,
+        "batch_size": 256 if on_imagenet else 64,
+        "eval_batch_size": 256,
+        "uratio": 2,
+        "ema_m": 0.999,
+        "crop_ratio": 0.875,
+        "img_size": 112 if on_imagenet else (96 if dataset == "stl10" else 32),
+        "optim": "SGD",
+        "lr": 0.1 if on_imagenet else 0.03,
+        "momentum": 0.9,
+        "weight_decay": 1e-4 if on_imagenet else 5e-4,
+        "layer_decay": 1.0,
+        "amp": False,
+        "clip": 0.0,
+        "use_cat": True,
+        "net": "resnet50" if on_imagenet else "wrn_28_2",
+        "data_dir": "./data",
+        "dataset": dataset,
+        "num_classes": IMB_NUM_CLASSES[dataset],
+        "seed": seed,
+        "use_pretrain": False,
+        "include_lb_to_ulb": False,
+        "lb_imb_ratio": lb_gamma,
+        "ulb_imb_ratio": ulb_gamma,
+        "ulb_num_labels": ulb_n,
+    }
+    if imb is not None:
+        cfg["imb_algorithm"] = imb
+        # emit the wrapper's hyperparameters explicitly, as the reference
+        # YAMLs do; values come from the implementation's DEFAULTS
+        from semireward_tpu.registry import IMB_ALGORITHMS
+        imb_cls = IMB_ALGORITHMS.get(imb)
+        cfg.update(getattr(imb_cls, "DEFAULTS", {}))
+    path = os.path.join(out_dir, "classic_cv_imb", dir_name)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name + ".yaml"), "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return cfg
+
 
 def create_configuration(suite: str, alg: str, dataset: str, num_labels: int,
                          seed: int, out_dir: str):
     sp = SUITES[suite]
     C_, img, _ = sp["datasets"][dataset]
-    name = f"{alg}_{dataset}_{num_labels}_{seed}"
+    # SemiReward variants live under config/SemiReward/<suite>/<base>/ and
+    # keep the BASE algorithm's file name, exactly like the reference
+    # (config/SemiReward/usb_cv/flexmatch/flexmatch_cifar100_200_0.yaml has
+    # `algorithm: srflexmatch` inside).
+    is_sr = alg.startswith("sr")
+    file_alg = alg[2:] if is_sr else alg
+    name = f"{file_alg}_{dataset}_{num_labels}_{seed}"
+    # ... but save_name keeps the sr prefix (reference convention)
+    save_name = f"{alg}_{dataset}_{num_labels}_{seed}"
     cfg = {
         "algorithm": alg,
         "save_dir": f"./saved_models/{suite}/",
-        "save_name": name,
+        "save_name": save_name,
         "resume": True,
-        "load_path": f"./saved_models/{suite}/{name}/latest_model.ckpt",
+        "load_path": f"./saved_models/{suite}/{save_name}/latest_model.ckpt",
         "overwrite": True,
         "epoch": max(sp["num_train_iter"] // 1024, 1),
         "num_train_iter": sp["num_train_iter"],
@@ -136,13 +224,15 @@ def create_configuration(suite: str, alg: str, dataset: str, num_labels: int,
         "use_pretrain": sp["use_pretrain"],
     }
     cfg.update(sp.get("extra", {}))
-    if alg.startswith("sr"):
+    if is_sr:
         extra = dict(SR_EXTRA)
         if suite in ("usb_nlp", "usb_audio"):
             extra["start_timing"] = 10000
             extra["feature_dim"] = 768
         cfg.update(extra)
-    path = os.path.join(out_dir, suite, alg)
+        path = os.path.join(out_dir, "SemiReward", suite, file_alg)
+    else:
+        path = os.path.join(out_dir, suite, alg)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, name + ".yaml"), "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
@@ -152,15 +242,34 @@ def create_configuration(suite: str, alg: str, dataset: str, num_labels: int,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", default="all",
-                   choices=["all"] + list(SUITES))
+                   choices=["all", "classic_cv_imb"] + list(SUITES))
     p.add_argument("--out", default="config")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--sr_only", action="store_true")
     args = p.parse_args()
 
-    suites = list(SUITES) if args.suite == "all" else [args.suite]
+    if args.suite == "all":
+        suites = list(SUITES) + ["classic_cv_imb"]
+    else:
+        suites = [args.suite]
     n = 0
     for suite in suites:
+        if suite == "classic_cv_imb":
+            if args.sr_only:
+                continue
+            for base_alg in IMB_BASE_ALGS:
+                wrappers = [None] if base_alg == "supervised" else [
+                    w for w in IMB_WRAPPERS
+                    if w is None or base_alg == "fixmatch"
+                    or w not in FIXMATCH_ONLY_WRAPPERS]
+                for imb in wrappers:
+                    for ds, settings in IMB_SETTINGS.items():
+                        for setting in settings:
+                            for seed in range(args.seeds):
+                                create_imb_configuration(
+                                    base_alg, imb, ds, setting, seed, args.out)
+                                n += 1
+            continue
         algs = SR_ALGS if args.sr_only else (BASE_ALGS + SR_ALGS)
         for alg in algs:
             for ds, (_, _, label_counts) in SUITES[suite]["datasets"].items():

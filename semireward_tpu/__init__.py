@@ -18,6 +18,7 @@ from semireward_tpu.registry import ALGORITHMS, DATASETS, IMB_ALGORITHMS, NETS
 # populate registries (the reference does the same eagerly,
 # core/__init__.py:6-8)
 from semireward_tpu import algorithms as _algorithms  # noqa: E402,F401
+from semireward_tpu import imb as _imb  # noqa: E402,F401
 from semireward_tpu import models as _models  # noqa: E402,F401
 
 

@@ -66,8 +66,10 @@ class TestGenerator:
 
         create_configuration("usb_cv", "srflexmatch", "cifar100", 200, 0,
                              str(tmp_path))
-        path = tmp_path / "usb_cv" / "srflexmatch" / \
-            "srflexmatch_cifar100_200_0.yaml"
+        # SR configs land under SemiReward/<suite>/<base>/ with the base
+        # algorithm's file name (reference layout)
+        path = tmp_path / "SemiReward" / "usb_cv" / "flexmatch" / \
+            "flexmatch_cifar100_200_0.yaml"
         assert path.exists()
         cfg = config_lib.from_yaml(str(path))
         assert cfg.algorithm == "srflexmatch"
