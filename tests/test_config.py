@@ -97,4 +97,15 @@ class TestCLI:
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         assert out.returncode == 0, out.stderr[-2000:]
         assert "top-1-acc" in out.stdout + out.stderr
-        assert (tmp_path / "cli" / "latest_model.ckpt").exists()
+        ckpt = tmp_path / "cli" / "latest_model.ckpt"
+        assert ckpt.exists()
+
+        # eval.py on the checkpoint just produced (reference eval.py flow)
+        out2 = subprocess.run(
+            [sys.executable, "eval.py", "--load_path", str(ckpt),
+             "--dataset", "synthetic", "--net", "wrn_28_2",
+             "--num_classes", "4", "--img_size", "32", "--batch_size", "8"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        assert "Test Accuracy:" in out2.stdout
