@@ -109,3 +109,20 @@ class TestCLI:
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         assert out2.returncode == 0, out2.stderr[-2000:]
         assert "Test Accuracy:" in out2.stdout
+
+        # resume: same run continues from the checkpoint (train.py:58)
+        out3 = subprocess.run(
+            [sys.executable, "train.py", "--algorithm", "fixmatch",
+             "--net", "wrn_28_2", "--dataset", "synthetic",
+             "--num_classes", "4", "--num_labels", "16", "--eval_batch_size", "8",
+             "--batch_size", "8", "--uratio", "1",
+             "--num_train_iter", "6", "--num_eval_iter", "6",
+             "--num_log_iter", "2", "--optim", "SGD", "--lr", "0.01",
+             "--img_size", "32", "--compute_dtype", "float32",
+             "--save_dir", str(tmp_path), "--save_name", "cli",
+             "--mesh_shape", "(-1,)", "--resume",
+             "--load_path", str(ckpt)],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert out3.returncode == 0, out3.stderr[-2000:]
+        assert "resumed from" in out3.stdout + out3.stderr
