@@ -154,14 +154,20 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
             train_ulb=ArrayDataset(ulb, np.full(len(ulb), -1, np.int64)),
             eval=ArrayDataset(tdata, ttargets),
             num_classes=10, mean=mean, std=std)
-    elif name in ("tissuemnist", "medmnist"):
+    elif name in ("tissuemnist", "medmnist") or (
+            name.endswith("mnist") and name != "rcf_mnist"):
+        # any MedMNIST member loads from its <name>.npz (the reference
+        # vendors the whole INFO catalog, medmnist.py:24-200; USB
+        # benchmarks tissuemnist)
+        mm = "tissuemnist" if name == "medmnist" else name
         from semireward_tpu.data.cv_extra import load_medmnist
         (data, targets), (vdata, vtargets), (tdata, ttargets) = \
-            load_medmnist(cfg.data_dir, "tissuemnist")
+            load_medmnist(cfg.data_dir, mm)
         tdata, ttargets = vdata, vtargets  # eval split = val (USB convention)
         from semireward_tpu.data.cv_extra import MEAN_STD
-        mean = tuple([MEAN_STD["tissuemnist"][0][0]] * 3)
-        std = tuple([MEAN_STD["tissuemnist"][1][0]] * 3)
+        ms = MEAN_STD.get(mm, ((0.5,), (0.5,)))
+        mean = tuple(list(ms[0]) * (3 if len(ms[0]) == 1 else 1))
+        std = tuple(list(ms[1]) * (3 if len(ms[1]) == 1 else 1))
         num_classes = cfg.num_classes
     elif name == "eurosat":
         from semireward_tpu.data.cv_extra import load_eurosat, MEAN_STD

@@ -117,3 +117,30 @@ class TestBio:
         ids = ds.encode(0)
         assert ids.shape == (12,)
         assert ids[0] == 2  # CLS
+
+
+class TestMedMNIST:
+    def test_any_member_loads_by_name(self, tmp_path):
+        """Any MedMNIST member resolves via its <name>.npz (the reference
+        vendors the full INFO catalog, medmnist.py:24-200)."""
+        import numpy as np
+        import semireward_tpu as st
+
+        rs = np.random.RandomState(0)
+        np.savez(tmp_path / "bloodmnist.npz",
+                 train_images=rs.randint(0, 255, (256, 28, 28), np.uint8),
+                 train_labels=rs.randint(0, 8, (256, 1)),
+                 val_images=rs.randint(0, 255, (64, 28, 28), np.uint8),
+                 val_labels=rs.randint(0, 8, (64, 1)),
+                 test_images=rs.randint(0, 255, (64, 28, 28), np.uint8),
+                 test_labels=rs.randint(0, 8, (64, 1)))
+        cfg = st.get_config(dict(algorithm="fixmatch", dataset="bloodmnist",
+                                 num_classes=8, num_labels=16,
+                                 data_dir=str(tmp_path), img_size=28,
+                                 net="wrn_28_2"))
+        b = st.get_dataset(cfg)
+        # grayscale replicated to 3 channels; eval split = val split
+        assert b.train_lb.data.shape == (16, 28, 28, 3)
+        assert b.train_ulb.data.shape == (256, 28, 28, 3)
+        assert b.eval.data.shape == (64, 28, 28, 3)
+        assert b.mean == (0.5, 0.5, 0.5)

@@ -65,6 +65,13 @@ def main(argv=None):
     results = trainer.train()
     for k, v in sorted(results.items()):
         logger.info(f"{k}: {v}")
+
+    # reference train.py:427-429 runs an optional post-train finetune stage;
+    # no built-in algorithm defines one (dead in the reference too), but
+    # Trainer subclasses providing finetune() get the same call site.
+    if hasattr(trainer, "finetune"):
+        logger.info("Finetune stage")
+        trainer.finetune()
     return results
 
 
