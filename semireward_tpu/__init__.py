@@ -46,6 +46,21 @@ def split_ssl_data(*a, **kw):
     return _s(*a, **kw)
 
 
+def get_data_loader(*a, **kw):
+    from semireward_tpu.data.loader import get_data_loader as _g
+
+    return _g(*a, **kw)
+
+
+def BasicDataset(*a, **kw):  # noqa: N802  (reference class name)
+    """Raw-array dataset (the analogue of the reference's BasicDataset,
+    datasets/cv_datasets/datasetbase.py:15-115 — per-algorithm view
+    construction happens on device in augment_views, not in __getitem__)."""
+    from semireward_tpu.data.datasets import ArrayDataset
+
+    return ArrayDataset(*a, **kw)
+
+
 def Trainer(*a, **kw):  # noqa: N802  (reference lighting API name)
     from semireward_tpu.core.trainer import Trainer as _T
 
@@ -55,6 +70,6 @@ def Trainer(*a, **kw):  # noqa: N802  (reference lighting API name)
 __all__ = [
     "Config", "from_dict", "from_yaml", "get_config",
     "get_algorithm", "get_net_builder", "get_dataset", "split_ssl_data",
-    "Trainer",
+    "get_data_loader", "BasicDataset", "Trainer",
     "ALGORITHMS", "IMB_ALGORITHMS", "NETS", "DATASETS",
 ]

@@ -128,6 +128,22 @@ class SSLLoader:
         return out
 
 
+def get_data_loader(bundle: SSLDataBundle, cfg=None, batch_size: int = 8,
+                    ulb_batch_size: Optional[int] = None, seed: int = 0,
+                    sampler: str = "RandomSampler") -> SSLLoader:
+    """Facade-level loader builder (reference core/utils/build.py:121-190
+    get_data_loader). Accepts either a Config (pulls batch sizes / seed /
+    sampler from it) or explicit keyword arguments."""
+    if cfg is not None:
+        batch_size = cfg.batch_size
+        ulb_batch_size = cfg.ulb_batch_size
+        seed = cfg.seed
+        sampler = cfg.train_sampler
+    return SSLLoader(bundle, batch_size,
+                     ulb_batch_size if ulb_batch_size is not None
+                     else batch_size, seed=seed, sampler=sampler)
+
+
 def eval_batches(ds: ArrayDataset, batch_size: int):
     """Fixed-shape eval batches; last batch padded, with a validity mask so
     jit sees one shape."""
