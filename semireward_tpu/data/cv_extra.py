@@ -20,6 +20,9 @@ MEAN_STD = {
               (68.4 / 255, 66.6 / 255, 68.5 / 255)),
     "eurosat": ((0.3442, 0.3802, 0.4077), (0.2025, 0.1369, 0.1156)),
     "tissuemnist": ((0.5,), (0.5,)),
+    # torchvision ImageNet constants (reference imagenet.py:28-29; also used
+    # for the other full-size JPEG folder datasets)
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
 }
 
 
@@ -143,6 +146,11 @@ class JPEGFolderDataset:
 
     def __len__(self):
         return len(self.paths)
+
+    def subset(self, idx) -> "JPEGFolderDataset":
+        idx = np.asarray(idx)
+        return JPEGFolderDataset([self.paths[int(i)] for i in idx],
+                                 self.targets[idx], self.img_size)
 
     def gather(self, idx):
         from PIL import Image

@@ -182,10 +182,74 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
             noise=int(cfg.extra.get("synthetic_noise", 40)))
         mean, std = MEAN["synthetic"], STD["synthetic"]
         num_classes = cfg.num_classes
+    elif name in ("imagenet", "imagenet127", "food101", "semi_aves"):
+        # full-size JPEG folder datasets: lazy per-batch decode
+        # (reference imagenet.py:46-169, aves.py:30-60, food101.py)
+        from semireward_tpu.data.cv_extra import (
+            MEAN_STD, JPEGFolderDataset, get_imagenet, load_folder_list)
+        from semireward_tpu.data.split import sample_labeled_unlabeled_data
+        mean, std = MEAN_STD["imagenet"]
+        if name == "semi_aves":
+            # predefined lb/ulb/val lists — no index split
+            def _first(*cands):
+                for c in cands:
+                    if os.path.isfile(os.path.join(cfg.data_dir, name, c)):
+                        return load_folder_list(cfg.data_dir, name, c)
+                raise FileNotFoundError(
+                    f"{name}: none of {cands} under {cfg.data_dir}/{name}")
+
+            lb_p, lb_y = _first("l_train_val.txt", "l_train.txt")
+            ulb_p, ulb_y = _first("u_train_in.txt", "u_train.txt")
+            ev_p, ev_y = _first("val.txt", "test.txt")
+            return SSLDataBundle(
+                train_lb=JPEGFolderDataset(lb_p, lb_y, cfg.img_size),
+                train_ulb=JPEGFolderDataset(ulb_p, ulb_y, cfg.img_size),
+                eval=JPEGFolderDataset(ev_p, ev_y, cfg.img_size),
+                num_classes=cfg.num_classes, mean=mean, std=std)
+        if name == "food101":
+            tr_p, tr_y = load_folder_list(cfg.data_dir, name, "train_list.txt")
+            ev_p, ev_y = load_folder_list(cfg.data_dir, name, "test_list.txt")
+            train = JPEGFolderDataset(tr_p, tr_y, cfg.img_size)
+            val = JPEGFolderDataset(ev_p, ev_y, cfg.img_size)
+        else:  # imagenet / imagenet127 (same tree; 127 = coarse label map)
+            train, val = get_imagenet(cfg.data_dir, cfg.img_size)
+        rng = np.random.RandomState(cfg.seed)
+        dump_dir = os.path.join(cfg.data_dir, "data_statistics", name,
+                                "labeled_idx")
+        lb_idx, ulb_idx = sample_labeled_unlabeled_data(
+            np.asarray(train.targets), cfg.num_classes, cfg.num_labels,
+            ulb_num_labels=cfg.ulb_num_labels,
+            lb_imbalance_ratio=cfg.lb_imb_ratio,
+            ulb_imbalance_ratio=cfg.ulb_imb_ratio, rng=rng,
+            dump_dir=dump_dir,
+            dump_tag=f"labels{cfg.num_labels}_{cfg.lb_imb_ratio}"
+                     f"_seed{cfg.seed}")
+        if cfg.include_lb_to_ulb:
+            ulb_idx = np.concatenate([lb_idx, ulb_idx])
+        return SSLDataBundle(
+            train_lb=train.subset(lb_idx), train_ulb=train.subset(ulb_idx),
+            eval=val, num_classes=cfg.num_classes, mean=mean, std=std)
+    elif name in ("agedb", "imdb_wiki", "rcf_mnist"):
+        # regression CV sets (num_classes == 1, float targets; labeled
+        # subset is a plain random sample — class balance is undefined)
+        from semireward_tpu.data.cv_extra import load_regression_folder
+        (data, targets), (tdata, ttargets) = load_regression_folder(
+            cfg.data_dir, name)
+        rng = np.random.RandomState(cfg.seed)
+        perm = rng.permutation(len(data))
+        lb_idx = perm[:cfg.num_labels]
+        ulb_idx = perm if cfg.include_lb_to_ulb else perm[cfg.num_labels:]
+        return SSLDataBundle(
+            train_lb=ArrayDataset(data[lb_idx], targets[lb_idx]),
+            train_ulb=ArrayDataset(data[ulb_idx], targets[ulb_idx]),
+            eval=ArrayDataset(tdata, ttargets),
+            num_classes=1, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
     else:
         raise KeyError(
-            f"dataset '{name}' is not wired yet in the TPU build; available: "
-            f"cifar10, cifar100, synthetic")
+            f"dataset '{name}' is not wired in the TPU build; available: "
+            f"cifar10/100, svhn, stl10, eurosat, any *mnist (MedMNIST), "
+            f"imagenet(127), food101, semi_aves, agedb, imdb_wiki, "
+            f"rcf_mnist, synthetic")
 
     rng = np.random.RandomState(cfg.seed)
     dump_dir = os.path.join(cfg.data_dir, "data_statistics", name, "labeled_idx")

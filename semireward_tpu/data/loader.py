@@ -148,9 +148,11 @@ def eval_batches(ds: ArrayDataset, batch_size: int):
     """Fixed-shape eval batches; last batch padded, with a validity mask so
     jit sees one shape."""
     n = len(ds)
+    lazy = hasattr(ds, "gather")  # JPEG folder datasets decode per batch
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
-        x = ds.data[start:stop]
+        x = (ds.gather(np.arange(start, stop)) if lazy
+             else ds.data[start:stop])
         y = ds.targets[start:stop]
         pad = batch_size - (stop - start)
         mask = np.ones(batch_size, bool)

@@ -144,3 +144,83 @@ class TestMedMNIST:
         assert b.train_ulb.data.shape == (256, 28, 28, 3)
         assert b.eval.data.shape == (64, 28, 28, 3)
         assert b.mean == (0.5, 0.5, 0.5)
+
+
+class TestFolderAndRegressionDatasets:
+    def _fake_imagenet(self, root, n_train=12, n_val=4, C=4, size=40):
+        import numpy as np, os
+        from PIL import Image
+        rs = np.random.RandomState(0)
+        for split, n in (("train", n_train), ("val", n_val)):
+            for c in range(C):
+                d = os.path.join(root, "imagenet", split, f"n{c:08d}")
+                os.makedirs(d)
+                for i in range(n):
+                    Image.fromarray(
+                        rs.randint(0, 255, (size, size, 3), np.uint8)
+                    ).save(os.path.join(d, f"img_{i}.JPEG"))
+
+    def test_imagenet_folder_lazy_decode(self, tmp_path):
+        import numpy as np
+        import semireward_tpu as st
+        from semireward_tpu.data.loader import eval_batches
+
+        self._fake_imagenet(str(tmp_path))
+        cfg = st.get_config(dict(
+            algorithm="fixmatch", dataset="imagenet", num_classes=4,
+            num_labels=8, data_dir=str(tmp_path), img_size=32,
+            net="wrn_28_2", include_lb_to_ulb=False))
+        b = st.get_dataset(cfg)
+        assert len(b.train_lb) == 8 and len(b.eval) == 16
+        batch = next(st.get_data_loader(b, batch_size=4, ulb_batch_size=8))
+        assert batch["x_lb"].shape == (4, 32, 32, 3)
+        assert batch["x_lb"].dtype == np.uint8
+        # eval path decodes lazily too, incl. the padded last batch
+        ev = list(eval_batches(b.eval, 12))
+        assert ev[-1]["x"].shape == (12, 32, 32, 3)
+        assert ev[-1]["mask"].sum() == 4
+
+    def test_semi_aves_predefined_lists(self, tmp_path):
+        import numpy as np, os
+        from PIL import Image
+        import semireward_tpu as st
+
+        rs = np.random.RandomState(0)
+        av = tmp_path / "semi_aves"
+        os.makedirs(av / "im")
+        for i in range(30):
+            Image.fromarray(rs.randint(0, 255, (36, 36, 3), np.uint8)).save(
+                str(av / "im" / f"{i}.jpg"))
+        for fn, idx in (("l_train_val.txt", range(0, 10)),
+                        ("u_train_in.txt", range(10, 26)),
+                        ("val.txt", range(26, 30))):
+            with open(av / fn, "w") as f:
+                for i in idx:
+                    f.write(f"im/{i}.jpg {i % 5}\n")
+        cfg = st.get_config(dict(algorithm="fixmatch", dataset="semi_aves",
+                                 num_classes=5, num_labels=10,
+                                 data_dir=str(tmp_path), img_size=32,
+                                 net="wrn_28_2"))
+        b = st.get_dataset(cfg)
+        # predefined split used as-is (reference aves.py semantics)
+        assert (len(b.train_lb), len(b.train_ulb), len(b.eval)) == (10, 16, 4)
+
+    def test_regression_dataset_split(self, tmp_path):
+        import numpy as np, os
+        import semireward_tpu as st
+
+        rs = np.random.RandomState(0)
+        os.makedirs(tmp_path / "agedb")
+        np.savez(tmp_path / "agedb" / "agedb.npz",
+                 train_x=rs.randint(0, 255, (64, 32, 32, 3), np.uint8),
+                 train_y=rs.uniform(1, 90, 64).astype(np.float32),
+                 test_x=rs.randint(0, 255, (16, 32, 32, 3), np.uint8),
+                 test_y=rs.uniform(1, 90, 16).astype(np.float32))
+        cfg = st.get_config(dict(algorithm="srpseudolabel", dataset="agedb",
+                                 num_classes=1, num_labels=8,
+                                 data_dir=str(tmp_path), img_size=32,
+                                 net="wrn_28_2"))
+        b = st.get_dataset(cfg)
+        assert len(b.train_lb) == 8 and len(b.train_ulb) == 64
+        assert b.train_lb.targets.dtype == np.float32
+        assert b.num_classes == 1
