@@ -270,6 +270,13 @@ def from_dict(d: Dict[str, Any], apply_alg_defaults: bool = True) -> Config:
             extra[k] = v
     cfg = Config(**base)
     cfg.extra.update(extra)
+    # regression task detection (reference algorithmbase.py:125-130 keys on
+    # loss_type != 'ce_loss'; its regression datasets are the num_classes=1
+    # ones — agedb / imdb_wiki / rcf_mnist)
+    if "is_regression" not in d:
+        lt = cfg.extra.get("loss_type")
+        if (lt is not None and lt != "ce_loss") or cfg.num_classes == 1:
+            cfg.is_regression = True
     return cfg
 
 

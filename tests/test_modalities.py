@@ -224,3 +224,29 @@ class TestFolderAndRegressionDatasets:
         assert len(b.train_lb) == 8 and len(b.train_ulb) == 64
         assert b.train_lb.targets.dtype == np.float32
         assert b.num_classes == 1
+
+    def test_regression_end_to_end(self, tmp_path):
+        """agedb-style run: is_regression auto-derived from num_classes=1,
+        L1 sup loss, regression eval metrics, best tracked by -mse."""
+        import numpy as np, os
+        import semireward_tpu as st
+
+        rs = np.random.RandomState(0)
+        os.makedirs(tmp_path / "agedb")
+        np.savez(tmp_path / "agedb" / "agedb.npz",
+                 train_x=rs.randint(0, 255, (64, 32, 32, 3), np.uint8),
+                 train_y=rs.uniform(1, 90, 64).astype(np.float32),
+                 test_x=rs.randint(0, 255, (16, 32, 32, 3), np.uint8),
+                 test_y=rs.uniform(1, 90, 16).astype(np.float32))
+        cfg = st.get_config(dict(
+            algorithm="pseudolabel", dataset="agedb", num_classes=1,
+            num_labels=8, data_dir=str(tmp_path), img_size=32,
+            net="wrn_28_2", batch_size=8, uratio=1, num_train_iter=2,
+            num_eval_iter=2, num_log_iter=1, eval_batch_size=8,
+            compute_dtype="float32", mesh_shape=(-1,),
+            save_dir=str(tmp_path), save_name="reg"))
+        assert cfg.is_regression  # derived, not passed
+        res = st.Trainer(cfg).fit()
+        for k in ("eval/mse", "eval/rmse", "eval/mae", "eval/mape", "eval/r2"):
+            assert k in res and np.isfinite(res[k])
+        assert "eval/top-1-acc" not in res
