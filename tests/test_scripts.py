@@ -1,0 +1,28 @@
+"""Script-level utilities: log aggregator format contract
+(reference scripts/average_log.py:12-60 scrapes log.txt)."""
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(REPO, "scripts", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_log_matches_trainer_format(tmp_path):
+    # exactly the line the Trainer emits at each eval
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "[09:00:00 INFO] eval @ 2: top-1-acc=0.7100 balanced_acc=0.2500 "
+        "precision=0.0771 recall=0.2500 F1=0.1179 loss=19.19 "
+        "(best 0.7200 @ 2)\n"
+        "[09:00:05 INFO] eval @ 4: top-1-acc=0.7300 (best 0.7300 @ 4)\n")
+    al = _load("average_log")
+    best, accs = al.parse_log(str(log))
+    assert best == 0.73
+    assert accs == [0.71, 0.73]
