@@ -233,7 +233,14 @@ class SemiRewardWrapper(Algorithm):
                                        n_sigma=cfg.n_sigma, momentum=cfg.ema_p,
                                        per_class=cfg.per_class)
             return algo_state._replace(gaussian=g), mask
-        raise NotImplementedError(name)
+        # custom base algorithms: honor their own remask() when defined,
+        # otherwise default to the stateless fixed-threshold filter (the
+        # fixmatch-family behavior) so `_make_sr_variant` composes with any
+        # registered algorithm (docs/tutorial.md §2)
+        custom = getattr(self.base, "remask", None)
+        if custom is not None:
+            return custom(algo_state, probs_w, idx_ulb)
+        return algo_state, C.fixed_threshold_mask(probs_w, cfg.p_cutoff)
 
     def _remask_is_stateful(self) -> bool:
         return self.base.NAME in ("freematch", "softmatch")

@@ -42,3 +42,22 @@ def test_custom_algorithm_trains(tmp_path):
     res = tr.fit()
     assert "eval/top-1-acc" in res
     assert jnp.isfinite(res["eval/loss"])
+
+
+def test_sr_wrapper_on_custom_algorithm(tmp_path):
+    """docs/tutorial.md §2: one-line SemiReward composition on a
+    user-registered algorithm."""
+    from semireward_tpu.algorithms.semireward import _make_sr_variant
+
+    _make_sr_variant("srmymatch", "mymatch")
+    cfg = st.get_config(dict(
+        algorithm="srmymatch", net="wrn_28_2", dataset="synthetic",
+        num_classes=4, num_labels=16, batch_size=8, uratio=1,
+        num_train_iter=2, num_eval_iter=4, num_log_iter=1,
+        eval_batch_size=8, img_size=32, compute_dtype="float32",
+        mesh_shape=(-1,), save_dir=str(tmp_path), save_name="srmymatch",
+        start_timing=1, N_k=1, feature_dim=128, sr_lr=1e-3))
+    tr = st.Trainer(cfg)
+    res = tr.fit()
+    assert "eval/top-1-acc" in res
+    assert tr.state.sr is not None  # rewarder/generator state threaded
