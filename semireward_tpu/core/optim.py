@@ -98,6 +98,90 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _elementwise_vec(params, per_leaf) -> jnp.ndarray:
+    """Broadcast a per-leaf scalar/bool tree to one elementwise f32 vector in
+    ravel_pytree order."""
+    from jax.flatten_util import ravel_pytree
+
+    expanded = jax.tree_util.tree_map(
+        lambda p, v: jnp.full(p.shape, jnp.float32(v)), params, per_leaf)
+    return ravel_pytree(expanded)[0]
+
+
+def build_flat_optimizer(
+    params,
+    optim_name: str,
+    schedule: optax.Schedule,
+    momentum: float,
+    weight_decay: float,
+    nesterov: bool,
+    clip_grad: float,
+    wd_mask,
+    scales,
+) -> optax.GradientTransformation:
+    """Optimizer over ONE raveled parameter vector.
+
+    The per-leaf optax chain emits ~5 ops per parameter leaf (150+ leaves on
+    ViT-S -> ~750 small kernels + per-leaf copies every step: measured
+    1.7 ms/step on TPU v5e vs 0.05 ms for the same math on one fused
+    vector). Weight-decay masking and BEiT layer-decay become elementwise
+    constant vectors baked at build time; the math below reproduces
+    torch.optim.SGD/AdamW exactly as the tree path does (tested equivalent
+    in tests/test_optim.py)."""
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(params)
+    wd_vec = _elementwise_vec(params, wd_mask) if weight_decay else None
+    scale_vec = _elementwise_vec(params, scales) if scales is not None else None
+    is_adam = optim_name.lower() in ("adamw", "adam")
+    use_wd = bool(weight_decay) and optim_name.lower() != "adam"
+
+    def init_fn(params):
+        p, _ = ravel_pytree(params)
+        state = {"count": jnp.zeros((), jnp.int32)}
+        if is_adam:
+            state["mu"] = jnp.zeros_like(p)
+            state["nu"] = jnp.zeros_like(p)
+        else:
+            state["trace"] = jnp.zeros_like(p)
+        return state
+
+    def update_fn(grads, state, params=None):
+        g, _ = ravel_pytree(grads)
+        g = g.astype(jnp.float32)
+        p, _ = ravel_pytree(params)
+        count = state["count"] + 1
+        if clip_grad and clip_grad > 0:
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, clip_grad / jnp.maximum(gnorm, 1e-12))
+        new_state = {"count": count}
+        if is_adam:
+            # optax.scale_by_adam / torch.optim.AdamW (decoupled wd AFTER)
+            mu = 0.9 * state["mu"] + 0.1 * g
+            nu = 0.999 * state["nu"] + 0.001 * (g * g)
+            c = count.astype(jnp.float32)
+            mhat = mu / (1.0 - 0.9 ** c)
+            nuhat = nu / (1.0 - 0.999 ** c)
+            upd = mhat / (jnp.sqrt(nuhat) + 1e-8)
+            if use_wd:
+                upd = upd + weight_decay * wd_vec * p
+            new_state["mu"] = mu
+            new_state["nu"] = nu
+        else:
+            # torch.optim.SGD: wd folded into the grad BEFORE momentum
+            if use_wd:
+                g = g + weight_decay * wd_vec * p
+            tr = g + momentum * state["trace"]
+            upd = g + momentum * tr if nesterov else tr
+            new_state["trace"] = tr
+        if scale_vec is not None:
+            upd = upd * scale_vec
+        upd = -schedule(state["count"]) * upd
+        return unravel(upd), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     params,
     optim_name: str = "SGD",
@@ -112,17 +196,36 @@ def build_optimizer(
     layer_id_fn: Optional[Callable] = None,
     num_layers: int = 0,
     schedule: Optional[optax.Schedule] = None,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """One transformation fusing {grad clip, weight decay, momentum/adam,
     layer-decay scaling, cosine schedule}. The reference splits these across
     GradScaler/optimizer/scheduler objects stepped by ParamUpdateHook
     (core/hooks/param_update.py:15-45); here they run inside the jitted step.
+
+    ``flat=True`` runs the same math on one raveled vector. Measured on TPU
+    v5e: standalone the flat update is 30x faster (0.05 vs 1.7 ms), but
+    inside the full train step it LOSES ~11% end-to-end (49.7 vs 56.0
+    steps/s) — XLA interleaves the per-leaf updates into the backward pass
+    fusions, and flattening both breaks that overlap and adds ravel/unravel
+    copies of the whole gradient/param vectors. Default stays per-leaf;
+    the flat path is kept (tested bit-equivalent) for optimizers/backends
+    where that fusion does not happen.
     """
     if schedule is None:
         schedule = cosine_schedule_with_warmup(
             lr, num_training_steps, num_warmup_steps
         )
     wd_mask = default_wd_mask(params)
+
+    if flat:
+        scales = None
+        if layer_decay != 1.0 and layer_id_fn is not None:
+            scales = layer_decay_scales(params, layer_decay, layer_id_fn,
+                                        num_layers)
+        return build_flat_optimizer(
+            params, optim_name, schedule, momentum, weight_decay, nesterov,
+            clip_grad, wd_mask, scales)
 
     chain = []
     if clip_grad and clip_grad > 0:

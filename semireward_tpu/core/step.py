@@ -54,6 +54,7 @@ def init_train_state(cfg, alg: Algorithm, model, rng,
             clip_grad=cfg.grad_clip,
             layer_id_fn=layer_id_fn,
             num_layers=num_layers,
+            flat=bool(cfg.extra.get("flat_optimizer", False)),
         )
 
     sr = alg.init_sr(k_sr) if getattr(alg, "HAS_SR", False) else None

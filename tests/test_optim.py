@@ -93,3 +93,50 @@ class TestOptimizerParity:
         assert np.isclose(scales["head"]["w"], 0.5)          # 0.5**(8-7)
         assert np.isclose(scales["blocks5"]["w"], 0.5 ** 2)  # layer 6
         assert np.isclose(scales["blocks0"]["w"], 0.5 ** 7)  # layer 1
+
+
+class TestFlatEquivalence:
+    """flat=True (one raveled vector) must match the per-leaf optax chain
+    bit-for-bit over multiple steps."""
+
+    def _run(self, optim_name, flat, steps=5, layer_decay=1.0):
+        import jax
+        import jax.numpy as jnp
+        from semireward_tpu.core.optim import build_optimizer
+
+        params = {
+            "blocks_0": {"kernel": jnp.ones((4, 3)) * 0.5,
+                         "bias": jnp.zeros((3,))},
+            "norm": {"scale": jnp.ones((3,))},
+            "head": {"kernel": jnp.full((3, 2), 0.2)},
+        }
+        lid = lambda names, n: 0 if names[0] == "blocks_0" else n + 1
+        tx = build_optimizer(params, optim_name, lr=0.1, momentum=0.9,
+                             weight_decay=0.01, layer_decay=layer_decay,
+                             num_training_steps=100, layer_id_fn=lid,
+                             num_layers=2, flat=flat)
+        state = tx.init(params)
+        import numpy as np
+        rs = np.random.RandomState(0)
+        for i in range(steps):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rs.standard_normal(p.shape).astype(np.float32)), params)
+            import optax
+            upd, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, upd)
+        return params
+
+    def test_sgd_flat_matches_tree(self):
+        import numpy as np, jax
+        a = self._run("SGD", flat=True)
+        b = self._run("SGD", flat=False)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
+
+    def test_adamw_layerdecay_flat_matches_tree(self):
+        import numpy as np, jax
+        a = self._run("AdamW", flat=True, layer_decay=0.5)
+        b = self._run("AdamW", flat=False, layer_decay=0.5)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
