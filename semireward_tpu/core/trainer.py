@@ -52,8 +52,12 @@ class Trainer:
     def __init__(self, cfg: Config, bundle: Optional[SSLDataBundle] = None,
                  use_mesh: bool = True, logger=None, alg_factory=None):
         from semireward_tpu.data.modality import modality_of, GenericBundle
+        from semireward_tpu.parallel.mesh import setup_distributed
         self.cfg = cfg
         self.logger = logger or get_logger(cfg.save_name)
+        # multi-host pod bootstrap (no-op single host); rank/world feed the
+        # rank-strided samplers (reference DistributedSampler semantics)
+        self.rank, self.world = setup_distributed(cfg)
         self.modality = modality_of(cfg.net)
         if bundle is not None:
             self.bundle = bundle
@@ -236,11 +240,16 @@ class Trainer:
                 self.collator, cfg.batch_size, cfg.ulb_batch_size,
                 self.alg.BATCH_KEYS, seed=cfg.seed)
         tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
+        # multi-host: each host draws its rank-strided 1/world share of the
+        # global batch; _put_batch reassembles the global array
+        bs = cfg.batch_size // self.world
+        ubs = cfg.ulb_batch_size // self.world
         return SSLLoader(
-            self.bundle, cfg.batch_size, cfg.ulb_batch_size, seed=cfg.seed,
+            self.bundle, bs, ubs, seed=cfg.seed,
+            rank=self.rank, world=self.world,
             tfe_streams=tfe,
             tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
-            * cfg.batch_size if tfe else 0,
+            * bs if tfe else 0,
             sampler=cfg.train_sampler)
 
     def _eval_batches(self, ds):
@@ -268,6 +277,9 @@ class Trainer:
 
     def _put_batch(self, raw: Dict[str, np.ndarray]):
         if self._batch_sharding is not None:
+            if self.world > 1:
+                from semireward_tpu.parallel.mesh import put_global_batch
+                return put_global_batch(self._batch_sharding, raw)
             return {k: jax.device_put(v, self._batch_sharding)
                     for k, v in raw.items()}
         return raw
@@ -395,12 +407,14 @@ class Trainer:
                 if score > self.best_metric:
                     self.best_metric = score
                     self.best_it = step_now
+                    if self.rank == 0:  # rank-0-only I/O (checkpoint.py:18-20)
+                        ckpt.save_checkpoint(
+                            os.path.join(self._save_dir, "model_best.ckpt"),
+                            self.state, {"it": step_now, "eval": eval_m})
+                if self.rank == 0:
                     ckpt.save_checkpoint(
-                        os.path.join(self._save_dir, "model_best.ckpt"),
+                        os.path.join(self._save_dir, "latest_model.ckpt"),
                         self.state, {"it": step_now, "eval": eval_m})
-                ckpt.save_checkpoint(
-                    os.path.join(self._save_dir, "latest_model.ckpt"),
-                    self.state, {"it": step_now, "eval": eval_m})
                 log(f"eval @ {step_now}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
                     + f" (best {self.best_metric:.4f} @ {self.best_it})")

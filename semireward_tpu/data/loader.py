@@ -65,7 +65,7 @@ class SSLLoader:
                               minlength=bundle.num_classes).astype(np.float64)
             w = (1.0 / np.maximum(cnt, 1))[targets]
             w = w / w.sum()
-            rs = np.random.RandomState(seed)
+            rs = np.random.RandomState(seed + 1000 * rank)
 
             def weighted():
                 while True:
@@ -87,7 +87,7 @@ class SSLLoader:
             cnt = np.bincount(targets, minlength=bundle.num_classes).astype(np.float64)
             w = (1.0 / np.maximum(cnt, 1))[targets]
             self._tfe_p = w / w.sum()
-            self._tfe_rs = np.random.RandomState(seed + 7)
+            self._tfe_rs = np.random.RandomState(seed + 7 + 1000 * rank)
             self._tfe_ulb = batched(
                 infinite_indices(len(bundle.train_ulb), seed + 8, rank, world),
                 tfe_ulb_batch_size or batch_size)

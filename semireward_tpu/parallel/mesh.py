@@ -63,3 +63,35 @@ def fsdp_param_sharding(mesh: Mesh, params, axis: str = "fsdp",
         return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map(spec, params)
+
+
+def setup_distributed(cfg=None) -> Tuple[int, int]:
+    """Multi-host slice bootstrap. Every host of a TPU pod slice runs the
+    same program; ``jax.distributed.initialize()`` wires them from the TPU
+    metadata server — no TCP rendezvous/port scan/NCCL process groups like
+    the reference (train.py:374-379, core/utils/build.py:254-265).
+
+    Call before any other jax API on a pod. Opt-in via cfg.extra
+    ['multihost']=True (or JAX_MULTIHOST=1); a plain no-op single-host.
+    Returns (process_index, process_count)."""
+    import os
+
+    want = False
+    if cfg is not None:
+        want = bool(getattr(cfg, "extra", {}).get("multihost", False))
+    want = want or os.environ.get("JAX_MULTIHOST", "") == "1"
+    if want:
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized, or single-host metadata absent
+    return jax.process_index(), jax.process_count()
+
+
+def put_global_batch(sharding: NamedSharding, batch: dict) -> dict:
+    """Assemble a GLOBAL batch from this host's local rows. Each host feeds
+    its rank-strided slice (see data/loader.py infinite_indices); XLA sees
+    one global array sharded over the full mesh — the multi-host analogue
+    of DistributedSampler + per-rank DataLoader."""
+    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}

@@ -102,3 +102,27 @@ class TestDataParallel:
                         jax.tree_util.tree_leaves(s8.batch_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-4, atol=1e-6)
+
+
+class TestMultiHostPlumbing:
+    """Single-host semantics of the multi-host pod plumbing (real pods run
+    the same code with jax.process_count() > 1; reference analogue is
+    DistributedSampler + rank-0-only checkpoints)."""
+
+    def test_setup_distributed_single_host(self):
+        from semireward_tpu.parallel.mesh import setup_distributed
+        rank, world = setup_distributed(None)
+        assert (rank, world) == (0, 1)
+
+    def test_put_global_batch_single_host_matches_device_put(self):
+        import jax
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from semireward_tpu.parallel.mesh import build_mesh, put_global_batch
+
+        mesh = build_mesh((-1,), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3)}
+        out = put_global_batch(sh, batch)
+        np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+        assert out["x"].sharding == sh
