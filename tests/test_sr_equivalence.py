@@ -100,3 +100,27 @@ def test_srpseudolabel_regression_branch():
             x_ulb_w=jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32))
         state, m = step(state, batch)
     assert np.isfinite(float(m["total_loss"]))
+
+
+@pytest.mark.parametrize("base", ["fixmatch", "pseudolabel", "freematch",
+                                  "softmatch"])
+def test_all_sr_variants_match_base_before_start_timing(base):
+    """Every sr* variant (srfixmatch/srpseudolabel/srfreematch/srsoftmatch,
+    reference sr*/ dirs) is bit-identical to its base algorithm until
+    start_timing — srflexmatch is covered by the test above."""
+    rs = np.random.RandomState(1)
+    bs = batches(rs, 2)
+    if base == "pseudolabel":
+        # pseudolabel consumes only the weak view
+        for b in bs:
+            b.pop("x_ulb_s", None)
+    _, s_base, step_base = build(base)
+    _, s_sr, step_sr = build("sr" + base)
+    for b in bs:
+        s_base, m_base = step_base(s_base, b)
+        s_sr, m_sr = step_sr(s_sr, b)
+    np.testing.assert_allclose(float(m_base["total_loss"]),
+                               float(m_sr["total_loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_base.params),
+                     jax.tree_util.tree_leaves(s_sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
