@@ -26,3 +26,20 @@ def test_parse_log_matches_trainer_format(tmp_path):
     best, accs = al.parse_log(str(log))
     assert best == 0.73
     assert accs == [0.71, 0.73]
+
+
+def test_metrics_sink_jsonl(tmp_path):
+    """MetricsSink writes one JSON object per log call (the structured
+    replacement for the reference's TBLog/log.txt scraping)."""
+    import json
+    from semireward_tpu.utils.metrics_sink import MetricsSink
+
+    sink = MetricsSink(str(tmp_path), run_name="t", config={"lr": 0.1})
+    sink.log({"train/total_loss": 1.5, "lr": 0.01}, step=10)
+    sink.log({"eval/top-1-acc": 0.9}, step=20)
+    sink.close()
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "metrics.jsonl").read().splitlines() if ln]
+    assert any(r.get("step") == 10 and r.get("train/total_loss") == 1.5
+               for r in lines)
+    assert any(r.get("step") == 20 for r in lines)
