@@ -43,3 +43,40 @@ def test_metrics_sink_jsonl(tmp_path):
     assert any(r.get("step") == 10 and r.get("train/total_loss") == 1.5
                for r in lines)
     assert any(r.get("step") == 20 for r in lines)
+
+
+def test_preprocess_nlp_chain(tmp_path):
+    """preprocess_nlp.py emits the reference JSON contract
+    ('ori'/'aug_0'/'aug_1'/'label') and the NLP loader consumes it."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    for split in ("train", "test"):
+        for sub, label in (("pos", 1), ("neg", 0)):
+            d = tmp_path / "raw" / split / sub
+            os.makedirs(d)
+            for i in range(3):
+                (d / f"{i}.txt").write_text(
+                    f"sample text number {i} for {sub} {split}")
+    out = subprocess.run(
+        [sys.executable, "preprocess/preprocess_nlp.py", "--dataset",
+         "aclImdb", "--raw", str(tmp_path / "raw"), "--out",
+         str(tmp_path / "data" / "aclImdb")],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-1000:]
+
+    d = json.load(open(tmp_path / "data" / "aclImdb" / "train.json"))
+    row = d[next(iter(d))]
+    assert set(row) == {"ori", "aug_0", "aug_1", "label"}
+
+    import semireward_tpu as st
+    from semireward_tpu.data.nlp import get_nlp_dataset
+    cfg = st.get_config(dict(algorithm="fixmatch", dataset="aclImdb",
+                             num_classes=2, num_labels=2,
+                             data_dir=str(tmp_path / "data"),
+                             net="bert_base_uncased"))
+    splits = get_nlp_dataset(cfg, "fixmatch")
+    assert len(splits["train_lb"]) == 2
+    assert len(splits["test"]) == 6
