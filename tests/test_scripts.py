@@ -80,3 +80,39 @@ def test_preprocess_nlp_chain(tmp_path):
     splits = get_nlp_dataset(cfg, "fixmatch")
     assert len(splits["train_lb"]) == 2
     assert len(splits["test"]) == 6
+
+
+def test_preprocess_audio_chain(tmp_path):
+    """preprocess_audio.py: ESC-50 fold layout -> {train,dev,test}.pkl lists
+    of (float32 wave, label) — the layout data/audio.py loads."""
+    import csv
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    audio = tmp_path / "raw" / "audio"
+    meta = tmp_path / "raw" / "meta"
+    os.makedirs(audio); os.makedirs(meta)
+    rs = np.random.RandomState(0)
+    with open(meta / "esc50.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["filename", "fold", "target"])
+        w.writeheader()
+        for i in range(10):
+            fn = f"clip{i}.wav"
+            wavfile.write(str(audio / fn), 16000,
+                          (rs.randn(8000) * 1000).astype(np.int16))
+            w.writerow({"filename": fn, "fold": (i % 5) + 1, "target": i % 3})
+    out = subprocess.run(
+        [sys.executable, "preprocess/preprocess_audio.py", "--dataset",
+         "esc50", "--raw", str(tmp_path / "raw"), "--out",
+         str(tmp_path / "data")],
+        capture_output=True, text=True, timeout=120, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-1000:]
+    train = pickle.load(open(tmp_path / "data" / "train.pkl", "rb"))
+    assert len(train) == 6  # folds 1-3
+    wav, label = train[0]
+    assert wav.dtype == np.float32 and 0 <= label < 3
