@@ -43,6 +43,7 @@ for _mod, _names in (
     ("bert", ("bert_base_cased", "bert_base_uncased")),
     ("hubert", ("hubert_base",)),
     ("wav2vec2", ("wave2vecv2_base",)),
+    ("huggingface", ("dnabert_2_117m", "hf_text_classifier")),
 ):
     try:
         _m = __import__(f"semireward_tpu.models.{_mod}", fromlist=_names)

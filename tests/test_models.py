@@ -82,3 +82,20 @@ class TestViT:
         a = model.apply(v, x, train=False)["logits"]
         b = model.apply(v, x, train=False)["logits"]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dnabert_registered_and_forwards():
+    """dnabert_2_117m (reference nets/huggingface/transformer.py:4-53)
+    registers and classifies tokenized k-mer input."""
+    import jax
+    import jax.numpy as jnp
+    import semireward_tpu as st
+
+    assert "dnabert_2_117m" in list(st.NETS.keys())
+    assert "hf_text_classifier" in list(st.NETS.keys())
+    m = st.get_net_builder("dnabert_2_117m")(num_classes=2, dtype=jnp.float32)
+    ids = jnp.ones((1, 8), jnp.int32)
+    batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids)}
+    p = m.init(jax.random.PRNGKey(0), batch, train=False)["params"]
+    out = m.apply({"params": p}, batch, train=False)
+    assert out["logits"].shape == (1, 2)
