@@ -20,6 +20,15 @@ from semireward_tpu.registry import ALGORITHMS, DATASETS, IMB_ALGORITHMS, NETS
 from semireward_tpu import algorithms as _algorithms  # noqa: E402,F401
 from semireward_tpu import imb as _imb  # noqa: E402,F401
 from semireward_tpu import models as _models  # noqa: E402,F401
+from semireward_tpu.data import datasets as _cv_datasets  # noqa: E402,F401
+try:  # modality dataset getters (reference get_dataset name dispatch)
+    from semireward_tpu.data.nlp import get_nlp_dataset as _nlp_get
+    from semireward_tpu.data.audio import get_audio_dataset as _audio_get
+
+    DATASETS.register(_nlp_get, name="nlp")
+    DATASETS.register(_audio_get, name="audio")
+except ImportError:  # pragma: no cover
+    pass
 
 
 def get_algorithm(name: str):
