@@ -116,3 +116,20 @@ def test_preprocess_audio_chain(tmp_path):
     assert len(train) == 6  # folds 1-3
     wav, label = train[0]
     assert wav.dtype == np.float32 and 0 <= label < 3
+
+
+def test_examples_run(tmp_path):
+    """examples/*.py (the reference notebooks' flows) run end to end."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    for script in ("examples/beginner.py", "examples/custom_dataset.py"):
+        out = subprocess.run([sys.executable, os.path.join(REPO, script)],
+                             capture_output=True, text=True, timeout=600,
+                             env=env, cwd=str(tmp_path))
+        assert out.returncode == 0, (script, out.stderr[-1500:])
+        assert "top-1-acc" in out.stdout
