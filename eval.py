@@ -19,12 +19,13 @@ def main(argv=None):
                    help="evaluate raw params instead of the EMA shadow")
     args = p.parse_args(argv)
 
-    import numpy as np
-    import jax.numpy as jnp
     import semireward_tpu  # noqa: F401
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
+    # algorithm-agnostic like the reference (eval.py:39-48 loads only the
+    # ema_model weights): graft params/ema/batch_stats from a checkpoint
+    # written by ANY algorithm, ignoring its optimizer/algo/SR state
     cfg = get_config(dict(
         algorithm="fixmatch", net=args.net, dataset=args.dataset,
         data_dir=args.data_dir, num_classes=args.num_classes,
@@ -32,7 +33,8 @@ def main(argv=None):
         eval_batch_size=args.batch_size, num_train_iter=1, num_eval_iter=1,
         save_name="eval"))
     tr = Trainer(cfg, use_mesh=False)
-    tr.load(args.load_path)
+    tr.load_weights(args.load_path)
+    tr.eval_use_ema = not args.use_train_model
     metrics = tr.evaluate()
     for k, v in sorted(metrics.items()):
         print(f"{k}: {v:.4f}")

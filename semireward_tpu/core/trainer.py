@@ -156,8 +156,14 @@ class Trainer:
                 views = {}
                 for k, v in raw.items():
                     if k.endswith("_base"):
+                        # zlib.crc32, not hash(): Python's hash is salted per
+                        # process (PYTHONHASHSEED), which would break run
+                        # reproducibility and trace different constants on
+                        # each host of a pod (SPMD same-program requirement)
+                        import zlib
                         views[k[:-5]] = strong_augment_wave(
-                            jax.random.fold_in(arng, hash(k) % (1 << 30)), v)
+                            jax.random.fold_in(
+                                arng, zlib.crc32(k.encode()) % (1 << 30)), v)
                     elif k.startswith("x_"):
                         views[k] = v
             else:
@@ -194,8 +200,8 @@ class Trainer:
             self._jit_step = jax.jit(full_step, donate_argnums=donate)
             self._batch_sharding = None
 
-        def eval_fwd(state, x, out_key="logits"):
-            params = state.ema_params
+        def eval_fwd(state, x, out_key="logits", use_ema=True):
+            params = state.ema_params if use_ema else state.params
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -206,7 +212,11 @@ class Trainer:
                 return out.get(out_key, out["logits"])
             return out
 
-        self._jit_eval = jax.jit(eval_fwd, static_argnames=("out_key",))
+        self._jit_eval = jax.jit(eval_fwd,
+                                 static_argnames=("out_key", "use_ema"))
+        # evaluation uses the EMA shadow like the reference
+        # (algorithmbase.py:382); eval.py --use_train_model flips this
+        self.eval_use_ema = True
 
         self.best_metric = -math.inf
         self.best_it = 0
@@ -323,8 +333,12 @@ class Trainer:
                 if st else state.batch_stats), loss
 
         jit_wu = jax.jit(wu_step, donate_argnums=0)
-        loader = SSLLoader(self.bundle, cfg.batch_size, cfg.ulb_batch_size,
-                           seed=cfg.seed + 99)
+        # mirror _make_loader's multi-host contract: each host draws its
+        # rank-strided 1/world share, _put_batch reassembles the global batch
+        loader = SSLLoader(self.bundle, cfg.batch_size // self.world,
+                           cfg.ulb_batch_size // self.world,
+                           seed=cfg.seed + 99,
+                           rank=self.rank, world=self.world)
         n = int(cfg.extra.get("num_wu_iter", cfg.num_wu_iter))
         for i in range(n):
             self.state, loss = jit_wu(self.state, self._put_batch(next(loader)))
@@ -410,11 +424,11 @@ class Trainer:
                     if self.rank == 0:  # rank-0-only I/O (checkpoint.py:18-20)
                         ckpt.save_checkpoint(
                             os.path.join(self._save_dir, "model_best.ckpt"),
-                            self.state, {"it": step_now, "eval": eval_m})
+                            self.state, self._ckpt_extra(step_now, eval_m))
                 if self.rank == 0:
                     ckpt.save_checkpoint(
                         os.path.join(self._save_dir, "latest_model.ckpt"),
-                        self.state, {"it": step_now, "eval": eval_m})
+                        self.state, self._ckpt_extra(step_now, eval_m))
                 log(f"eval @ {step_now}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
                     + f" (best {self.best_metric:.4f} @ {self.best_it})")
@@ -459,7 +473,8 @@ class Trainer:
         preds, trues, logits_all = [], [], []
         for b in self._eval_batches(ds):
             logits = np.asarray(self._jit_eval(self.state, b["x"],
-                                               out_key=out_key))
+                                               out_key=out_key,
+                                               use_ema=self.eval_use_ema))
             logits = logits[b["mask"]]
             y = b["y"][b["mask"]]
             preds.append(logits.argmax(-1))
@@ -487,15 +502,38 @@ class Trainer:
             pad = bs - len(xb)
             if pad:
                 xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
-            logits = np.asarray(self._jit_eval(self.state, xb))
+            logits = np.asarray(self._jit_eval(self.state, xb,
+                                               use_ema=self.eval_use_ema))
             outs.append(logits[: bs - pad if pad else bs])
         return np.concatenate(outs)
 
     # ------------------------------------------------------------------
+    def _ckpt_extra(self, step_now: int, eval_m: Dict[str, float]) -> Dict:
+        """Checkpoint metadata: the reference persists best_it/best_eval_acc
+        in the save dict so a resume keeps the best-model tracking
+        (core/algorithmbase.py get_save_dict/load_model)."""
+        return {"it": step_now, "eval": eval_m,
+                "best_metric": self.best_metric, "best_it": self.best_it,
+                "algorithm": self.cfg.algorithm}
+
     def load(self, path: str):
         self.state, extra = ckpt.load_checkpoint(path, self.state)
+        # restore best tracking so post-resume evals don't clobber
+        # model_best.ckpt with a worse model
+        if "best_metric" in extra:
+            self.best_metric = float(extra["best_metric"])
+            self.best_it = int(extra.get("best_it", 0))
         self.logger.info(f"resumed from {path} at it={extra.get('it')}")
         return extra
 
+    def load_weights(self, path: str):
+        """Algorithm-agnostic weight load for offline eval: grafts only
+        params/ema_params/batch_stats (see checkpoint.load_eval_weights)."""
+        self.state, extra = ckpt.load_eval_weights(path, self.state)
+        return extra
+
     def save(self, path: str):
-        ckpt.save_checkpoint(path, self.state, {"it": int(self.state.step)})
+        ckpt.save_checkpoint(
+            path, self.state,
+            {"it": int(self.state.step), "best_metric": self.best_metric,
+             "best_it": self.best_it, "algorithm": self.cfg.algorithm})

@@ -48,6 +48,62 @@ def test_sr_state_roundtrips(tmp_path, rs):
                                   np.asarray(state.algo.selected_label))
 
 
+def _mk_state(alg_name, cfg, model, wrap=True):
+    alg = ALGORITHMS.get(alg_name)(cfg, {"ulb_dest_len": 32,
+                                         "num_features": 128})
+    m = alg.wrap_model(model) if wrap else model
+    state, _ = init_train_state(cfg, alg, m, jax.random.PRNGKey(0),
+                                jnp.zeros((2, 32, 32, 3)))
+    return state
+
+
+def test_eval_weights_algorithm_agnostic(tmp_path):
+    """eval.py must load checkpoints from ANY algorithm: graft only
+    params/ema/batch_stats, ignore optimizer/algo/SR state (the reference
+    eval.py loads only the ema_model weights, eval.py:39-48)."""
+    cfg = get_config(dict(
+        algorithm="srflexmatch", net="wrn_28_2", num_classes=4, batch_size=4,
+        num_train_iter=8, compute_dtype="float32", start_timing=2, N_k=2,
+        feature_dim=128))
+    model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32)
+    src = _mk_state("srflexmatch", cfg, model)
+    path = str(tmp_path / "sr.ckpt")
+    ckpt.save_checkpoint(path, src, {"it": 8, "algorithm": "srflexmatch"})
+
+    dst = _mk_state("fixmatch", cfg, model)
+    loaded, extra = ckpt.load_eval_weights(path, dst)
+    assert extra["algorithm"] == "srflexmatch"
+    for a, b in zip(jax.tree_util.tree_leaves(src.ema_params),
+                    jax.tree_util.tree_leaves(loaded.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # full-state load must still refuse the mismatched pytree
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(path, dst)
+
+
+def test_eval_weights_strips_wrapper_backbone(tmp_path):
+    """A checkpoint from a wrapped net (comatch keeps the plain net under
+    the 'backbone' scope) must graft onto the bare net — the analogue of
+    the reference's 'module.' prefix strip."""
+    cfg = get_config(dict(
+        algorithm="comatch", net="wrn_28_2", num_classes=4, batch_size=4,
+        num_train_iter=8, compute_dtype="float32", feature_dim=128))
+    model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32)
+    src = _mk_state("comatch", cfg, model)
+    path = str(tmp_path / "cm.ckpt")
+    ckpt.save_checkpoint(path, src)
+
+    cfg2 = get_config(dict(
+        algorithm="fixmatch", net="wrn_28_2", num_classes=4, batch_size=4,
+        num_train_iter=8, compute_dtype="float32"))
+    dst = _mk_state("fixmatch", cfg2, model)
+    loaded, _ = ckpt.load_eval_weights(path, dst)
+    src_bb = src.params["backbone"]
+    for a, b in zip(jax.tree_util.tree_leaves(src_bb),
+                    jax.tree_util.tree_leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_structure_mismatch_raises(tmp_path):
     cfg = get_config(dict(algorithm="fixmatch", net="wrn_28_2", num_classes=4,
                           batch_size=4, compute_dtype="float32"))

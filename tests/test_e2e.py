@@ -48,6 +48,48 @@ class TestTrainerE2E:
             np.asarray(tr2.predict(tr2.bundle.eval.data[:8])),
             np.asarray(tr.predict(tr.bundle.eval.data[:8])), rtol=1e-5)
 
+    def test_resume_restores_best_tracking(self, tmp_path):
+        """After a resume, best_metric/best_it must survive so the first
+        post-resume eval cannot clobber model_best.ckpt with a worse model
+        (reference persists best_it/best_eval_acc in the save dict)."""
+        import os
+        cfg = small_cfg(save_dir=str(tmp_path), num_train_iter=6,
+                        num_eval_iter=3)
+        tr = Trainer(cfg, use_mesh=False)
+        tr.train()
+        latest = os.path.join(str(tmp_path), cfg.save_name,
+                              "latest_model.ckpt")
+        tr2 = Trainer(small_cfg(save_dir=str(tmp_path), num_train_iter=6,
+                                num_eval_iter=3), use_mesh=False)
+        extra = tr2.load(latest)
+        assert tr2.best_metric == tr.best_metric
+        assert tr2.best_it == tr.best_it
+        assert extra["algorithm"] == "fixmatch"
+
+    def test_eval_cli_any_algorithm_and_train_model_flag(self, tmp_path):
+        """eval.py end-to-end on a checkpoint written by srflexmatch (carries
+        SR + curriculum state) — and --use_train_model evaluates the raw
+        params instead of the EMA shadow."""
+        import os
+        cfg = small_cfg(algorithm="srflexmatch", save_dir=str(tmp_path),
+                        num_train_iter=4, num_eval_iter=4, start_timing=2,
+                        N_k=2, feature_dim=128)
+        tr = Trainer(cfg, use_mesh=False)
+        tr.train()
+        latest = os.path.join(str(tmp_path), cfg.save_name,
+                              "latest_model.ckpt")
+        import eval as eval_cli
+        argv = ["--load_path", latest, "--dataset", "synthetic",
+                "--net", "wrn_28_2", "--num_classes", "4",
+                "--img_size", "32", "--batch_size", "16"]
+        m_ema = eval_cli.main(argv)
+        m_raw = eval_cli.main(argv + ["--use_train_model"])
+        assert 0.0 <= m_ema["top-1-acc"] <= 1.0
+        assert 0.0 <= m_raw["top-1-acc"] <= 1.0
+        # 4 steps in: EMA (m=0.999) is still ~init while params moved, so
+        # the two paths must genuinely differ
+        assert m_ema["loss"] != m_raw["loss"]
+
     def test_synthetic_learnable(self, tmp_path):
         """Supervised training on the blob dataset should beat chance.
         ema_m=0 (eval = live params) and a fast BN momentum — the reference
