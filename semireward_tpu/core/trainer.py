@@ -62,12 +62,24 @@ class Trainer:
         if bundle is not None:
             self.bundle = bundle
         elif self.modality == "nlp":
-            from semireward_tpu.data.nlp import (get_nlp_dataset,
-                                                 get_tokenizer, NLPCollator)
-            splits = get_nlp_dataset(cfg, cfg.algorithm)
-            self.bundle = GenericBundle(splits, cfg.num_classes)
-            self.collator = NLPCollator(get_tokenizer(cfg.net),
-                                        max_length=cfg.max_length)
+            if cfg.net.startswith("dnabert"):
+                # bio/DNA: CSV + k-mer data rides the NLP pipeline with its
+                # own collator (the reference builds this dataset,
+                # bio_datasets/csv_data.py:73-148, but never dispatches it)
+                from semireward_tpu.data.bio import (get_bio_dataset,
+                                                     BioCollator)
+                splits = get_bio_dataset(cfg, cfg.algorithm)
+                self.bundle = GenericBundle(splits, cfg.num_classes)
+                self.collator = BioCollator(k=int(cfg.extra.get("kmer", 6)),
+                                            max_length=cfg.max_length)
+            else:
+                from semireward_tpu.data.nlp import (get_nlp_dataset,
+                                                     get_tokenizer,
+                                                     NLPCollator)
+                splits = get_nlp_dataset(cfg, cfg.algorithm)
+                self.bundle = GenericBundle(splits, cfg.num_classes)
+                self.collator = NLPCollator(get_tokenizer(cfg.net),
+                                            max_length=cfg.max_length)
         elif self.modality == "audio":
             from semireward_tpu.data.audio import (get_audio_dataset,
                                                    AudioCollator)
@@ -93,6 +105,8 @@ class Trainer:
             net_kw["remat"] = True
         if cfg.extra.get("use_flash_attention"):
             net_kw["use_flash"] = True
+        # explicit geometry overrides for the builder (tests/small runs)
+        net_kw.update(cfg.extra.get("net_kwargs", {}))
         self.model = builder(num_classes=cfg.num_classes,
                              dtype=_model_dtype(cfg), img_size=cfg.img_size,
                              **net_kw)

@@ -13,8 +13,10 @@ from semireward_tpu.models.bert import ClassificationBert, _layer_id
 
 
 def dnabert_2_117m(num_classes: int, dtype=jnp.bfloat16, **kw):
+    geo = {k: kw[k] for k in ("hidden", "layers", "heads", "intermediate",
+                              "max_position") if k in kw}
     return ClassificationBert(num_classes=num_classes, vocab_size=4101,
-                              dtype=dtype)
+                              dtype=dtype, **geo)
 
 
 def hf_text_classifier(num_classes: int, vocab_size: int = 30522,

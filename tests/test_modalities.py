@@ -107,6 +107,22 @@ class TestAudio:
         assert not np.allclose(np.asarray(out), np.asarray(x))
 
 
+def write_bio_fixture(root, name="tinydna", n=40, n_classes=2, seq_len=20):
+    base = os.path.join(root, name)
+    os.makedirs(base, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for split, count in (("train", n), ("dev", 12), ("test", 12)):
+        with open(os.path.join(base, f"{split}.csv"), "w") as f:
+            f.write("sequence,label\n")
+            for _ in range(count):
+                y = int(rs.randint(n_classes))
+                # class-dependent base bias so the task is learnable
+                p = [0.4, 0.1, 0.1, 0.4] if y else [0.1, 0.4, 0.4, 0.1]
+                seq = "".join(rs.choice(list("ACGT"), seq_len, p=p))
+                f.write(f"{seq},{y}\n")
+    return name
+
+
 class TestBio:
     def test_kmer_encoding(self, tmp_path):
         from semireward_tpu.data.bio import DNADataset, seq_to_kmers, kmer_to_id
@@ -117,6 +133,50 @@ class TestBio:
         ids = ds.encode(0)
         assert ids.shape == (12,)
         assert ids[0] == 2  # CLS
+
+    def test_bio_dataset_factory_and_collator(self, tmp_path, rs):
+        from semireward_tpu.config import get_config
+        from semireward_tpu.data.bio import get_bio_dataset, BioCollator, complement
+        name = write_bio_fixture(str(tmp_path))
+        cfg = get_config(dict(algorithm="fixmatch", dataset=name,
+                              data_dir=str(tmp_path), num_classes=2,
+                              num_labels=8, max_length=16, net="dnabert_2_117m"))
+        cfg.extra["kmer"] = 3
+        splits = get_bio_dataset(cfg)
+        assert len(splits["train_lb"]) == 8
+        assert len(splits["eval"]) == 12
+        col = BioCollator(k=3, max_length=16)
+        weak = col.views(splits["train_ulb"], np.arange(4), rs, strong=False)
+        strong = col.views(splits["train_ulb"], np.arange(4), rs, strong=True)
+        assert weak["input_ids"].shape == (4, 16)
+        assert (weak["input_ids"][:, 0] == 2).all()  # CLS
+        # strong view = base complement -> different tokens, same shape
+        assert (weak["input_ids"] != strong["input_ids"]).any()
+        assert complement("ACGT") == "TGCA"
+
+    def test_dnabert_train_e2e(self, tmp_path):
+        """A dnabert run end-to-end: CSV/k-mer data -> BioCollator -> NLP
+        loader -> jitted FixMatch step -> eval (the wiring the reference
+        never completed — its get_dataset cannot reach csv_data.py)."""
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        name = write_bio_fixture(str(tmp_path))
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="dnabert_2_117m", dataset=name,
+            data_dir=str(tmp_path), num_classes=2, num_labels=8,
+            batch_size=4, uratio=1, eval_batch_size=8, max_length=16,
+            num_train_iter=2, num_eval_iter=2, num_log_iter=1,
+            optim="AdamW", lr=1e-4, ema_m=0.999, compute_dtype="float32",
+            save_dir=str(tmp_path), save_name="dna"))
+        cfg.extra["kmer"] = 3
+        cfg.extra["net_kwargs"] = dict(hidden=32, layers=2, heads=2,
+                                       intermediate=64, max_position=16)
+        tr = Trainer(cfg, use_mesh=False)
+        assert tr.modality == "nlp"
+        res = tr.train()
+        assert "eval/top-1-acc" in res
+        assert "test/top-1-acc" in res  # test split exists for bio
 
 
 class TestMedMNIST:
