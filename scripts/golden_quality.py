@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Produce the golden-learning QUALITY report (accuracy evidence for every
+algorithm family — the distilled version of the reference's benchmark-CSV
+contract, results/README.md:3).
+
+Runs on whatever accelerator jax sees (a few minutes per run on TPU).
+Writes QUALITY_r<round>.json at the repo root and docs/quality.md.
+
+Usage: python scripts/golden_quality.py [--round 2] [--iters 300]
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+
+
+THRESHOLD_FAMILIES = ["fixmatch", "flexmatch", "freematch", "softmatch",
+                      "uda", "adamatch", "dash"]
+IMB_METHODS = ["saw", "debiaspl", "abc"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--round", type=int, default=2)
+    p.add_argument("--iters", type=int, default=300)
+    p.add_argument("--sr_iters", type=int, default=500)
+    p.add_argument("--imb_iters", type=int, default=400)
+    p.add_argument("--skip_imb", action="store_true")
+    args = p.parse_args()
+
+    from semireward_tpu.validation import (imb_gain, run_golden,
+                                           sr_noise_experiment)
+
+    report = {"iters": args.iters, "seed": 0}
+
+    # 1) shared labeled-only baseline + every thresholding family
+    sup = run_golden("fixmatch", iters=args.iters, lambda_u=0.0)["acc"]
+    report["labeled_only_acc"] = sup
+    fam = {}
+    for alg in THRESHOLD_FAMILIES:
+        acc = run_golden(alg, iters=args.iters, lambda_u=1.0)["acc"]
+        fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
+        print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
+    report["thresholding_families"] = fam
+
+    # 2) SemiReward under pseudo-label noise + the downweighting control
+    sr = sr_noise_experiment(noise_frac=0.4, iters=args.sr_iters,
+                             start_timing=120)
+    # control: same noisy flexmatch with lambda_u scaled to SR's observed
+    # keep rate — distinguishes "reward selects good labels" from "reward
+    # filter merely downweights the unsup loss"
+    from semireward_tpu.validation import make_noisy_flexmatch
+    NoisyFlex, _ = make_noisy_flexmatch(0.4)
+    ctrl = run_golden("flexmatch", alg_factory=lambda c, d: NoisyFlex(c, d),
+                      iters=args.sr_iters, lambda_u=0.33)["acc"]
+    sr["control_downweighted_acc"] = ctrl
+    report["semireward_noise"] = sr
+    print(f"[golden] sr noise: {json.dumps(sr, default=float)}")
+
+    # 3) imbalanced tier
+    if not args.skip_imb:
+        imb = {}
+        for m in IMB_METHODS:
+            out = imb_gain(m, gamma=10.0, iters=args.imb_iters)
+            imb[m] = out
+            print(f"[golden] imb {m}: {json.dumps(out, default=float)}")
+        report["imbalanced"] = imb
+
+    out_path = f"QUALITY_r{args.round:02d}.json"
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, default=float)
+    print(f"wrote {out_path}")
+
+    _write_md(report)
+
+
+def _write_md(report):
+    lines = [
+        "# Golden-learning quality report",
+        "",
+        "Evidence that the algorithms *learn* (the distilled form of the",
+        "reference's benchmark-reproduction contract). Synthetic 4-class",
+        f"task, {report['iters']} train iters, seed {report['seed']};",
+        "produced by `python scripts/golden_quality.py`.",
+        "",
+        f"Labeled-only baseline (same label budget): "
+        f"**{report['labeled_only_acc']:.4f}**",
+        "",
+        "| algorithm | SSL acc | gain vs labeled-only |",
+        "|---|---|---|",
+    ]
+    for alg, r in report["thresholding_families"].items():
+        lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
+                     f"{r['gain_vs_labeled_only']:+.4f} |")
+    sr = report["semireward_noise"]
+    lines += [
+        "",
+        "## SemiReward under 40% pseudo-label noise",
+        "",
+        f"- noisy flexmatch: **{sr['noisy_flexmatch_acc']:.4f}**",
+        f"- SR-filtered noisy flexmatch: **{sr['sr_noisy_flexmatch_acc']:.4f}**"
+        f" (gain {sr['sr_gain']:+.4f})",
+        f"- control (noisy flexmatch, unsup loss statically downweighted to "
+        f"SR's keep rate): {sr.get('control_downweighted_acc', float('nan')):.4f}",
+        f"- trained-rewarder keep rates in mixed batches: correct "
+        f"{sr['keep_rate_correct']:.3f} vs corrupted "
+        f"{sr['keep_rate_corrupted']:.3f}",
+        "",
+        "Honest reading: the recovery is real and large; on this synthetic",
+        "task the per-sample keep rates show the filter acts mostly as",
+        "adaptive downweighting rather than per-sample label selection",
+        "(compare the control row).",
+    ]
+    if "imbalanced" in report:
+        lines += ["", "## Imbalanced tier (γ=10 long-tailed split)", "",
+                  "| method | base balanced-acc | +method | gain |",
+                  "|---|---|---|---|"]
+        for m, r in report["imbalanced"].items():
+            lines.append(
+                f"| {m} over {r['base']} | {r['base_balanced_acc']:.4f} | "
+                f"{r['imb_balanced_acc']:.4f} | {r['gain']:+.4f} |")
+    os_path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "docs", "quality.md")
+    with open(os_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {os_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -185,14 +185,18 @@ def _layer_id(names: Sequence[str], num_layers: int) -> int:
 
 def wrn_28_2(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,
              **kw) -> WideResNet:
-    return WideResNet(num_classes=num_classes, first_stride=1, depth=28,
-                      widen_factor=2, dtype=dtype, bn_momentum=bn_momentum)
+    return WideResNet(num_classes=num_classes, first_stride=1,
+                      depth=kw.get("depth", 28),
+                      widen_factor=kw.get("widen_factor", 2),
+                      dtype=dtype, bn_momentum=bn_momentum)
 
 
 def wrn_28_8(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,
              **kw) -> WideResNet:
-    return WideResNet(num_classes=num_classes, first_stride=1, depth=28,
-                      widen_factor=8, dtype=dtype, bn_momentum=bn_momentum)
+    return WideResNet(num_classes=num_classes, first_stride=1,
+                      depth=kw.get("depth", 28),
+                      widen_factor=kw.get("widen_factor", 8),
+                      dtype=dtype, bn_momentum=bn_momentum)
 
 
 def wrn_var_37_2(num_classes: int, dtype=jnp.bfloat16, bn_momentum=_BN_MOM,

@@ -23,6 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# fast gate: `pytest -m quick` runs these modules (minus the named slow
+# tests) in well under 2 minutes on one CPU — see docs/testing.md
+QUICK_MODULES = {
+    "test_losses", "test_thresholding", "test_metrics", "test_split",
+    "test_optim", "test_config", "test_sr_torch_parity", "test_augment",
+}
+SLOW_IN_QUICK_MODULES = {"test_train_cli_smoke"}  # 2-min full CLI run
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES and item.name.split("[")[0] not in SLOW_IN_QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rs():

@@ -1,0 +1,70 @@
+"""Golden-learning tier: the algorithms must LEARN, not just run.
+
+This distills the reference's correctness contract — reproducing its
+benchmark CSVs (results/README.md:3) — into minutes-scale synthetic
+accuracy runs with loose-but-real bounds (see semireward_tpu/validation.py).
+
+Tier: ``golden`` — EXCLUDED from the default pytest run (each test trains
+hundreds of steps; ~30 min total on one CPU, a few min on a TPU). Run with
+``pytest -m golden --override-ini addopts=''``; the per-round evidence
+artifact is produced by ``scripts/golden_quality.py`` (QUALITY_r*.json).
+
+Observed values these bounds were calibrated against (TPU v5e, seed 0):
+fixmatch sup/ssl = 0.875/0.959; sr noise exp: noisy flexmatch 0.441 ->
+sr 0.740 (+0.299); saw imb gain +0.014 balanced-acc over fixmatch @ γ=10.
+"""
+import pytest
+
+from semireward_tpu.validation import (imb_gain, run_golden,
+                                       sr_noise_experiment, ssl_gain)
+
+pytestmark = pytest.mark.golden
+
+# shared supervised baseline: fixmatch with the unsup loss zeroed — the
+# honest same-label-budget baseline (NOT 'fullysupervised', which sees all
+# labels)
+_BASELINE = {}
+
+
+def sup_baseline():
+    if "acc" not in _BASELINE:
+        _BASELINE["acc"] = run_golden("fixmatch", iters=300,
+                                      lambda_u=0.0)["acc"]
+    return _BASELINE["acc"]
+
+
+@pytest.mark.parametrize("algorithm", [
+    "fixmatch", "flexmatch", "freematch", "softmatch", "uda", "adamatch",
+    "dash",
+])
+def test_thresholding_family_beats_labeled_only(algorithm):
+    """Every thresholding family must beat the labeled-only baseline on the
+    same label budget (the core SSL contract, VERDICT r1 item 2a)."""
+    ssl = run_golden(algorithm, iters=300, lambda_u=1.0)["acc"]
+    sup = sup_baseline()
+    assert ssl > 0.5  # 4 classes, chance = 0.25
+    assert ssl >= sup + 0.02, (
+        f"{algorithm}: ssl={ssl:.3f} vs labeled-only={sup:.3f}")
+
+
+def test_srflexmatch_recovers_from_pseudo_label_noise():
+    """The headline SemiReward claim (VERDICT r1 item 2b): with 40% of
+    pseudo-labels corrupted, reward filtering recovers a large part of the
+    lost accuracy vs the identical noisy base algorithm."""
+    out = sr_noise_experiment(noise_frac=0.4, iters=500, start_timing=120)
+    assert out["sr_noisy_flexmatch_acc"] > out["noisy_flexmatch_acc"] + 0.10, out
+    # the filter must actually be filtering (not keeping everything)
+    assert out["keep_rate_correct"] < 0.95
+
+
+@pytest.mark.parametrize("imb_alg,min_gain", [
+    ("saw", 0.0),        # observed +0.014
+    ("debiaspl", -0.01),  # must at least not hurt
+    ("abc", -0.01),
+])
+def test_imbalanced_method_vs_base(imb_alg, min_gain):
+    """Imbalanced wrappers on a long-tailed split (VERDICT r1 item 2c):
+    balanced accuracy must improve (saw) or at minimum not regress."""
+    out = imb_gain(imb_alg, gamma=10.0, iters=400)
+    assert out["imb_balanced_acc"] > 0.8, out
+    assert out["gain"] >= min_gain, out
