@@ -104,6 +104,13 @@ def make_train_step(cfg, alg: Algorithm, model,
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_algo = out.new_algo_state
+        # optional second optimizer over the same grads (CoSSL's dedicated
+        # teacher SGD, reference cossl.py:50-75 CoSSLParamUpdateHook steps
+        # tfe_optimizer after the main optimizer on the same .grad buffers)
+        if hasattr(alg, "post_param_update"):
+            new_params, new_algo = alg.post_param_update(
+                new_params, grads, new_algo, state.step)
         # EMA of the post-step params (reference EMAHook, hooks/ema.py:14-24)
         new_ema = tree_ema(state.ema_params, new_params, cfg.ema_m)
         new_bs = (out.new_batch_stats if out.new_batch_stats is not None
@@ -122,7 +129,7 @@ def make_train_step(cfg, alg: Algorithm, model,
             batch_stats=new_bs,
             ema_params=new_ema,
             opt_state=new_opt,
-            algo=out.new_algo_state,
+            algo=new_algo,
             sr=new_sr,
         )
         return new_state, metrics

@@ -7,13 +7,15 @@ labeled stream and an unlabeled stream (tail classes mix more:
 p_c = (max_cnt - cnt_c)/max_cnt, lam ~ U(max_lam, 1)); evaluation switches
 to the teacher head after ``cossl_warm_epoch``.
 
-Deviations (documented):
-- the reference steps the teacher head with BOTH the main optimizer and a
-  dedicated SGD (cossl.py:50-75 CoSSLParamUpdateHook) — an effective-LR
-  quirk; here the teacher head trains with the main optimizer only.
+Both reference training quirks are reproduced:
+- the teacher head is DOUBLE-stepped — by the main optimizer and by a
+  dedicated SGD(cossl_tfe_warm_lr, momentum, cossl_tfe_warm_wd) over the
+  same gradients once epoch >= warm_epoch (cossl.py:50-75
+  CoSSLParamUpdateHook steps tfe_optimizer right after optimizer.step());
+  see ``post_param_update``.
 - the teacher's warm-start (``classifier_warmup``, cossl/utils.py — a
-  separate balanced-classifier fit from EMA features at the warm boundary)
-  is not yet ported; the head trains online from scratch instead.
+  balanced-classifier fit from EMA features at the warm-epoch boundary) is
+  implemented in ``on_epoch_end``.
 
 The class-balanced TFE labeled stream comes from the loader's weighted
 extra-stream support (reference get_weighted_sampler, cossl.py:150-160).
@@ -82,8 +84,55 @@ class CoSSL(ImbAlgorithm):
             self.BATCH_KEYS + ("x_tfe_lb", "y_tfe_lb", "x_tfe_ulb")))
 
     def wrap_model(self, model):
+        # head input width for the dedicated-SGD momentum buffers (wrap_model
+        # always precedes init_train_state)
+        self._num_features = int(getattr(
+            model, "num_features",
+            self.data_info.get("num_features", self.cfg.feature_dim)))
         return CoSSLNet(backbone=self.base.wrap_model(model),
                         num_classes=self.cfg.num_classes)
+
+    # ---- dedicated teacher SGD (reference cossl.py:50-75,124) --------------
+    def init_imb_state(self):
+        nf = int(getattr(self, "_num_features",
+                         self.data_info.get("num_features",
+                                            self.cfg.feature_dim)))
+        C_ = self.cfg.num_classes
+        # torch-SGD momentum buffers for the teacher head
+        return {"tfe_momentum": {"kernel": jnp.zeros((nf, C_), jnp.float32),
+                                 "bias": jnp.zeros((C_,), jnp.float32)}}
+
+    def post_param_update(self, params, grads, algo_state, step):
+        """Second optimizer step on the teacher head over the SAME grads the
+        main optimizer consumed (the reference calls tfe_optimizer.step()
+        right after optimizer.step() without re-deriving grads, once
+        epoch >= warm_epoch). torch-SGD semantics: d = g + wd*p;
+        buf = mu*buf + d; nesterov: d = d + mu*buf; p -= lr*d."""
+        cfg = self.cfg
+        base_state, imb_state = algo_state
+        lr = float(cfg.extra.get("cossl_tfe_warm_lr", 0.02))
+        wd = float(cfg.extra.get("cossl_tfe_warm_wd", 5e-4))
+        mu = float(cfg.momentum)
+        num_iter_per_epoch = max(cfg.num_train_iter // max(cfg.epoch, 1), 1)
+        active = (step // num_iter_per_epoch) >= self.warm_epoch
+
+        head = params["teacher_classifier"]
+        g = grads["teacher_classifier"]
+        buf = imb_state["tfe_momentum"]
+
+        def upd(p, g, b):
+            d = g.astype(jnp.float32) + wd * p
+            nb = mu * b + d
+            d = d + mu * nb  # nesterov (reference get_optimizer default)
+            return jnp.where(active, p - lr * d, p), jnp.where(active, nb, b)
+
+        new_head, new_buf = {}, {}
+        for k in head:
+            new_head[k], new_buf[k] = upd(head[k], g[k], buf[k])
+        new_params = dict(params)
+        new_params["teacher_classifier"] = new_head
+        return new_params, (base_state, {**imb_state,
+                                         "tfe_momentum": new_buf})
 
     def eval_out_key(self, step: int) -> str:
         num_iter_per_epoch = max(self.cfg.num_train_iter

@@ -95,3 +95,79 @@ def test_cossl_step(rs):
     state, m = step(state, b)
     assert np.isfinite(float(m["total_loss"]))
     assert "tea_loss" in m
+    # warm_epoch=0 -> the dedicated teacher SGD is active from step 0:
+    # its momentum buffers must move (reference cossl.py:50-75 steps
+    # tfe_optimizer on the same grads right after the main optimizer)
+    buf = state.algo[1]["tfe_momentum"]
+    assert not np.allclose(np.asarray(buf["kernel"]), 0.0)
+
+
+def test_cossl_teacher_sgd_matches_torch(rs):
+    """The dedicated head update must be torch-SGD (nesterov, wd) exactly,
+    applied ON TOP of the main optimizer's update of the same params."""
+    import torch
+
+    cfg, alg, state, step = build("cossl")
+    b = batch(rs)
+    b["x_tfe_lb"] = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    b["y_tfe_lb"] = jnp.asarray(rs.randint(0, 4, 4))
+    b["x_tfe_ulb"] = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+
+    # reproduce the step by hand: grads of the composed loss wrt the head,
+    # with the exact same per-step rng the jitted step derives
+    from semireward_tpu.algorithms.base import StepCtx
+    from semireward_tpu.utils import prng
+
+    model = alg.wrap_model(NETS.get("wrn_28_2")(num_classes=4,
+                                                dtype=jnp.float32))
+
+    def state_model_apply(*a, **kw):
+        return model.apply(*a, **kw)
+
+    rng = prng.step_key(state.rng, state.step)
+
+    def loss_fn2(params):
+        ctx = StepCtx(apply_fn=state_model_apply, params=params,
+                      batch_stats=state.batch_stats, batch=b,
+                      algo_state=state.algo, rng=rng, step=state.step,
+                      ema_params=state.ema_params, sr_state=None)
+        return alg.loss(ctx).total_loss
+
+    grads = jax.grad(loss_fn2)(state.params)
+    g_head = {k: np.asarray(v, np.float64)
+              for k, v in grads["teacher_classifier"].items()}
+    p0 = {k: np.asarray(v, np.float64)
+          for k, v in state.params["teacher_classifier"].items()}
+
+    # what post_param_update does, re-derived with torch.optim.SGD applied
+    # to the MAIN-optimizer-updated head over the same grads
+    new_state, _ = step(state, b)
+    lr = float(cfg.extra.get("cossl_tfe_warm_lr", 0.02))
+    wd = float(cfg.extra.get("cossl_tfe_warm_wd", 5e-4))
+
+    # the intermediate (main-optimizer-updated) head is not observable from
+    # outside the jitted step — recompute the main tx update directly, then
+    # verify end-to-end: torch-SGD applied to it reproduces the final head
+    import optax
+    from semireward_tpu.core.optim import build_optimizer
+    tx = build_optimizer(state.params, optim_name=cfg.optim, lr=cfg.lr,
+                         momentum=cfg.momentum,
+                         weight_decay=cfg.weight_decay,
+                         layer_decay=cfg.layer_decay,
+                         num_training_steps=cfg.num_train_iter,
+                         num_warmup_steps=cfg.num_warmup_iter,
+                         clip_grad=cfg.grad_clip)
+    upd, _ = tx.update(grads, state.opt_state, state.params)
+    mid = optax.apply_updates(state.params, upd)["teacher_classifier"]
+
+    pt = {k: torch.tensor(np.asarray(v, np.float64), requires_grad=True)
+          for k, v in mid.items()}
+    opt = torch.optim.SGD(list(pt.values()), lr=lr,
+                          momentum=float(cfg.momentum), weight_decay=wd,
+                          nesterov=True)
+    for k in pt:
+        pt[k].grad = torch.tensor(g_head[k])
+    opt.step()
+    final = np.asarray(new_state.params["teacher_classifier"]["kernel"])
+    np.testing.assert_allclose(final, pt["kernel"].detach().numpy(),
+                               rtol=1e-4, atol=1e-6)
