@@ -183,7 +183,11 @@ class FreeState:
 
 def free_init(num_classes: int) -> FreeState:
     u = jnp.ones((num_classes,), jnp.float32) / num_classes
-    return FreeState(p_model=u, label_hist=u, time_p=u.mean())
+    # label_hist must be a DISTINCT buffer: the TrainState is donated by the
+    # jitted step, and two leaves aliasing one array is a double-donation
+    # (rejected by the TPU runtime with INVALID_ARGUMENT)
+    return FreeState(p_model=u, label_hist=jnp.array(u, copy=True),
+                     time_p=u.mean())
 
 
 def free_mask(

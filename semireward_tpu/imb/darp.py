@@ -98,7 +98,9 @@ class DARP(ImbAlgorithm):
         N = self.data_info.get("ulb_dest_len", 1)
         C_ = self.cfg.num_classes
         u = jnp.ones((N, C_), jnp.float32) / C_
-        return DARPState(pseudo_orig=u, pseudo_refine=u)
+        # distinct buffers: the donated TrainState must not carry two leaves
+        # aliasing one array (TPU runtime rejects double-donation)
+        return DARPState(pseudo_orig=u, pseudo_refine=jnp.array(u, copy=True))
 
     # DARP intercepts pseudo-label generation. Our bases call the module-level
     # gen_ulb_targets; intercepting generically would touch every algorithm,

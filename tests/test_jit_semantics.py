@@ -100,3 +100,43 @@ class TestDonation:
         for i in range(3):
             state, m = jstep(state, mkbatch(rs))
         assert int(state.step) == 3
+
+    def test_no_aliased_leaves_in_any_initial_state(self):
+        """No two leaves of ANY algorithm's initial TrainState may alias one
+        buffer: the state is donated every step, and a double-donation is an
+        INVALID_ARGUMENT on the TPU runtime (found live: FreeState init
+        shared one array between p_model and label_hist — CPU tolerated it,
+        the chip did not)."""
+        import semireward_tpu.imb  # noqa: F401
+        from semireward_tpu.registry import IMB_ALGORITHMS
+
+        model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32,
+                                     depth=10)
+        di = {"ulb_dest_len": 64, "lb_dest_len": 32,
+              "lb_class_dist": np.full(4, 0.25), "num_features": 128}
+
+        def cfg_for(alg, imb=""):
+            return get_config(dict(
+                algorithm=alg, net="wrn_28_2", num_classes=4, batch_size=4,
+                uratio=1, num_train_iter=40, epoch=4, lr=0.01, optim="SGD",
+                ema_m=0.999, img_size=32, compute_dtype="float32",
+                start_timing=2, N_k=2, feature_dim=128, queue_batch=2,
+                da_len=8, proj_size=16, imb_algorithm=imb))
+
+        def assert_unique(name, alg, cfg):
+            m = alg.wrap_model(model)
+            state, _ = init_train_state(cfg, alg, m, jax.random.PRNGKey(0),
+                                        jnp.zeros((2, 32, 32, 3)))
+            leaves = [l for l in jax.tree_util.tree_leaves(state)
+                      if hasattr(l, "shape")]
+            ids = [id(l) for l in leaves]
+            assert len(ids) == len(set(ids)), f"{name}: aliased state leaves"
+
+        for name in ALGORITHMS.keys():
+            cfg = cfg_for(name)
+            assert_unique(name, ALGORITHMS.get(name)(cfg, dict(di)), cfg)
+        for iname in IMB_ALGORITHMS.keys():
+            cfg = cfg_for("fixmatch", iname)
+            alg = IMB_ALGORITHMS.get(iname)(
+                cfg, dict(di), base_cls=ALGORITHMS.get("fixmatch"))
+            assert_unique(f"fixmatch+{iname}", alg, cfg)
