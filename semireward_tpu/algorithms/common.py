@@ -85,11 +85,14 @@ def ssl_forward(
         if st1:
             variables = {"params": params, "batch_stats": st1["batch_stats"]}
         outs_s, st2 = fwd(variables, x_ulb_s, mutable)
-        # weak branch: no grad, and BN stats frozen (reference wraps it in
-        # torch.no_grad(); Bn_Controller freeze shows up in pseudolabel/vat)
+        # weak branch: no grad, and BN running stats frozen — the reference
+        # wraps it in torch.no_grad() + Bn_Controller (misc.py:105-129),
+        # which still NORMALIZES by the weak batch's own moments (train-mode
+        # BN) but restores the running stats afterwards. Equivalent here:
+        # train-mode forward whose returned batch_stats are discarded.
         outs_w, _ = fwd(
             {k: jax.lax.stop_gradient(v) for k, v in variables.items()},
-            x_ulb_w, False)
+            x_ulb_w, mutable)
         l_lb, f_lb = outs_lb["logits"], outs_lb["feat"]
         l_s, f_s = outs_s["logits"], outs_s["feat"]
         l_w = jax.lax.stop_gradient(outs_w["logits"])
