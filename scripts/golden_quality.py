@@ -97,6 +97,13 @@ def _write_md(report):
     for alg, r in report["thresholding_families"].items():
         lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
                      f"{r['gain_vs_labeled_only']:+.4f} |")
+    if report["thresholding_families"].get("adamatch", {}).get(
+            "gain_vs_labeled_only", 0) < 0:
+        lines += ["", "adamatch trails the baseline at this horizon: its "
+                  "relative threshold starts near zero (0.95 x mean lb "
+                  "confidence at init), so early pseudo-labels train at full "
+                  "weight — faithful reference behavior (parity-tested), "
+                  "costly on short runs."]
     sr = report["semireward_noise"]
     lines += [
         "",

@@ -50,7 +50,9 @@ class Dash(Algorithm):
         """Called by the trainer after the supervised warm-up stage
         (reference dash.py:150-154: rho_init = eval CE loss)."""
         v = jnp.asarray(rho_init, jnp.float32)
-        return algo_state.replace(rho_init=v, rho=v,
+        # distinct buffer for rho: the state is donated every step and two
+        # leaves aliasing one array is a double-donation (TPU runtime error)
+        return algo_state.replace(rho_init=v, rho=jnp.array(v, copy=True),
                                   rho_update_cnt=jnp.asarray(0, jnp.int32))
 
     def loss(self, ctx: StepCtx) -> LossOut:

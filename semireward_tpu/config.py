@@ -223,6 +223,10 @@ def _coerce(name: str, value: Any) -> Any:
 
                 return tuple(ast.literal_eval(v))
             except (ValueError, SyntaxError):
+                # bare-word tuples like "(data,fsdp)" — mesh axis names
+                inner = [s.strip() for s in v[1:-1].split(",") if s.strip()]
+                if inner and all(s.isidentifier() for s in inner):
+                    return tuple(inner)
                 return value
         try:
             return int(v)

@@ -205,10 +205,17 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             datash = NamedSharding(self.mesh, P("data"))
-            self.state = jax.device_put(self.state, rep)
+            if "fsdp" in self.mesh.axis_names:
+                # 2-D (data, fsdp) stretch layout: params/EMA/opt moments
+                # shard over the fsdp axis (parallel/mesh.py)
+                state_sh = mesh_lib.fsdp_state_sharding(self.mesh, self.state)
+            else:
+                state_sh = rep
+            self.state = jax.device_put(self.state, state_sh)
             self._jit_step = jax.jit(
                 full_step, donate_argnums=donate,
-                in_shardings=(rep, datash), out_shardings=(rep, rep))
+                in_shardings=(state_sh, datash),
+                out_shardings=(state_sh, rep))
             self._batch_sharding = datash
         else:
             self._jit_step = jax.jit(full_step, donate_argnums=donate)

@@ -45,14 +45,11 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def fsdp_param_sharding(mesh: Mesh, params, axis: str = "fsdp",
-                        min_size: int = 2 ** 16):
-    """Shard large parameter leaves along their biggest dim over `axis`
-    (simple FSDP layout for the ViT-B/pod-scale stretch configs)."""
+def _fsdp_leaf_spec(mesh: Mesh, axis: str, min_size: int):
     n_shard = mesh.shape[axis]
 
     def spec(leaf):
-        if leaf.size < min_size:
+        if not hasattr(leaf, "shape") or leaf.size < min_size:
             return NamedSharding(mesh, P())
         dims = list(leaf.shape)
         best = int(np.argmax(dims))
@@ -62,7 +59,41 @@ def fsdp_param_sharding(mesh: Mesh, params, axis: str = "fsdp",
         parts[best] = axis
         return NamedSharding(mesh, P(*parts))
 
-    return jax.tree_util.tree_map(spec, params)
+    return spec
+
+
+def fsdp_param_sharding(mesh: Mesh, params, axis: str = "fsdp",
+                        min_size: int = 2 ** 16):
+    """Shard large parameter leaves along their biggest dim over `axis`
+    (simple FSDP layout for the ViT-B/pod-scale stretch configs)."""
+    return jax.tree_util.tree_map(_fsdp_leaf_spec(mesh, axis, min_size),
+                                  params)
+
+
+def fsdp_state_sharding(mesh: Mesh, state, axis: str = "fsdp",
+                        min_size: int = 2 ** 16):
+    """FSDP layout for the WHOLE TrainState: params, the EMA shadow, and the
+    optimizer moments (optax state subtrees mirror param shapes, so the same
+    shape rule lands mu/nu on the identical layout as their parameter) all
+    shard over `axis`; scalars and small leaves replicate. This is what
+    makes the memory story real — on an N-way fsdp axis the three big
+    per-param buffers (param, EMA, Adam mu+nu) all divide by N."""
+    spec = _fsdp_leaf_spec(mesh, axis, min_size)
+    rep = NamedSharding(mesh, P())
+
+    def tree(t, sharded=True):
+        return jax.tree_util.tree_map(spec if sharded else (lambda _: rep), t)
+
+    return state.replace(
+        params=tree(state.params),
+        ema_params=tree(state.ema_params),
+        opt_state=tree(state.opt_state),
+        batch_stats=tree(state.batch_stats, sharded=False),
+        algo=tree(state.algo, sharded=False),
+        sr=tree(state.sr, sharded=False) if state.sr is not None else None,
+        rng=rep,
+        step=rep,
+    )
 
 
 def setup_distributed(cfg=None) -> Tuple[int, int]:

@@ -127,6 +127,11 @@ class TestDonation:
             m = alg.wrap_model(model)
             state, _ = init_train_state(cfg, alg, m, jax.random.PRNGKey(0),
                                         jnp.zeros((2, 32, 32, 3)))
+            # host-side state transforms must not introduce aliases either
+            # (found live: Dash's set_rho_init assigned one array to both
+            # rho_init and rho)
+            if hasattr(alg, "set_rho_init"):
+                state = state.replace(algo=alg.set_rho_init(state.algo, 0.5))
             leaves = [l for l in jax.tree_util.tree_leaves(state)
                       if hasattr(l, "shape")]
             ids = [id(l) for l in leaves]
