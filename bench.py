@@ -115,6 +115,8 @@ def measure_steps(trainer, cfg, n_steps=200):
     for i in range(n_steps):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
     jax.block_until_ready(m["total_loss"])
+    # the original trainer.state buffers were donated — keep the live ones
+    trainer.state = state
     return n_steps / (time.perf_counter() - t0)
 
 

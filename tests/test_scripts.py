@@ -127,9 +127,27 @@ def test_examples_run(tmp_path):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    for script in ("examples/beginner.py", "examples/custom_dataset.py"):
+    for script in ("examples/beginner.py", "examples/custom_dataset.py",
+                   "examples/custom_algorithm.py"):
         out = subprocess.run([sys.executable, os.path.join(REPO, script)],
                              capture_output=True, text=True, timeout=600,
                              env=env, cwd=str(tmp_path))
         assert out.returncode == 0, (script, out.stderr[-1500:])
         assert "top-1-acc" in out.stdout
+
+
+def test_notebooks_in_sync():
+    """notebooks/*.ipynb are generated from examples/*.py — regeneration
+    must be a no-op (scripts/make_notebooks.py is the sync tool)."""
+    import json
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mknb", os.path.join(REPO, "scripts", "make_notebooks.py"))
+    mknb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mknb)
+    for py, nb in mknb.PAIRS.items():
+        with open(os.path.join(REPO, py)) as f:
+            cells = mknb.to_cells(f.read())
+        with open(os.path.join(REPO, nb)) as f:
+            assert json.load(f)["cells"] == cells, f"{nb} out of sync"
