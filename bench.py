@@ -184,8 +184,9 @@ def main():
     n_params = sum(x.size for x in
                    jax.tree_util.tree_leaves(trainer.state.params))
     if args.mode == "large":
-        # WRN-28-2 fwd ~= 1.23 GFLOP/image at 32x32 (conv arithmetic)
-        flops_step = wrn_step_flops(1.23e9, images)
+        # WRN-28-2 fwd = 0.43 GFLOP/image at 32x32 (exact conv arithmetic:
+        # 3 stages x ~141.6 MFLOP + stem/shortcuts)
+        flops_step = wrn_step_flops(0.43e9, images)
     else:
         flops_step = vit_step_flops(n_params, tokens=257, images=images,
                                     hidden=384, layers=12)

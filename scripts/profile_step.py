@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Profile the headline bench step: capture an XLA trace of N steps and
+print a per-category time breakdown (the NOTES_DEV.md trace-parsing recipe,
+automated). TPU-only; writes nothing outside /tmp.
+
+Usage: python scripts/profile_step.py [--steps 10] [--mode headline|large]
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "conv" in n:
+        return "conv"
+    if "dot" in n or "dosort" not in n and "matmul" in n:
+        return "matmul"
+    if n.startswith("copy") or ".copy" in n or "copy-start" in n \
+            or "copy-done" in n:
+        return "copy"
+    if "reduce" in n:
+        return "reduce"
+    if "gather" in n or "scatter" in n or "dynamic-slice" in n \
+            or "dynamic-update" in n:
+        return "gather/scatter"
+    if "fusion" in n:
+        return "fusion(elementwise/mixed)"
+    if "rng" in n or "bitcast" in n:
+        return "rng/bitcast"
+    return "other"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--mode", default="headline")
+    p.add_argument("--logdir", default="/tmp/srt_trace")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import semireward_tpu  # noqa: F401
+    from bench import build_trainer
+    from semireward_tpu.data.loader import SSLLoader
+
+    cfg, trainer = build_trainer(args.mode)
+    trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
+    loader = SSLLoader(trainer.bundle, cfg.batch_size, cfg.ulb_batch_size,
+                       seed=0)
+    batches = [trainer._put_batch(next(loader)) for _ in range(8)]
+    state = trainer.state
+    for i in range(3):
+        state, m = trainer._jit_step(state, batches[i % 8])
+    jax.block_until_ready(m["total_loss"])
+
+    jax.profiler.start_trace(args.logdir)
+    for i in range(args.steps):
+        state, m = trainer._jit_step(state, batches[i % 8])
+    jax.block_until_ready(m["total_loss"])
+    jax.profiler.stop_trace()
+
+    files = glob.glob(args.logdir + "/plugins/profile/*/*.trace.json.gz")
+    assert files, f"no trace under {args.logdir}"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # find the TPU device pid
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "args" in e}
+    tpu_pids = [pid for pid, name in pids.items()
+                if "TPU" in name and "pjrt" not in name.lower()]
+    by_cat = collections.Counter()
+    by_op = collections.Counter()
+    n_ev = 0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        dur = e.get("dur", 0)
+        name = e.get("name", "?")
+        by_cat[categorize(name)] += dur
+        by_op[name] += dur
+        n_ev += 1
+    total = sum(by_cat.values())
+    print(f"\n=== {n_ev} device ops over {args.steps} steps — "
+          f"{total / args.steps / 1e3:.2f} ms/step ===")
+    for cat, dur in by_cat.most_common():
+        print(f"{dur / args.steps / 1e3:8.3f} ms/step  {cat}")
+    print("\ntop 20 ops:")
+    for name, dur in by_op.most_common(20):
+        print(f"{dur / args.steps / 1e3:8.3f} ms/step  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()

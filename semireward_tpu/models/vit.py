@@ -65,6 +65,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Any = jnp.bfloat16
     use_flash: bool = False
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -85,6 +86,23 @@ class Attention(nn.Module):
             # launches); flash pays off for long-sequence stretch configs.
             from semireward_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
+        elif self.remat_attn and not (train and self.attn_drop > 0):
+            # rematerialized einsum attention: without it autodiff stores the
+            # f32 [B,H,N,N] softmax probs of every layer for the backward
+            # (456 MB/step on the headline bench — the largest HBM residual
+            # in the whole program, seen as per-layer copy-start/done pairs
+            # in the trace); recomputing them in bwd costs one extra QK^T
+            # einsum per layer (~0.04 ms total), bit-identical grads.
+            dt = self.dtype
+
+            def _attn(q, k, v):
+                a = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                               preferred_element_type=jnp.float32) * (hd ** -0.5)
+                a = jax.nn.softmax(a, axis=-1)
+                return jnp.einsum("bhnm,bmhd->bnhd", a.astype(dt), v,
+                                  preferred_element_type=jnp.float32)
+
+            out = jax.checkpoint(_attn)(q, k, v)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32) * (hd ** -0.5)
@@ -111,6 +129,7 @@ class Block(nn.Module):
     init_values: Optional[float] = None
     dtype: Any = jnp.bfloat16
     use_flash: bool = False
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -118,7 +137,8 @@ class Block(nn.Module):
                                        param_dtype=jnp.float32, name=name)
         h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype,
-                      use_flash=self.use_flash, name="attn")(
+                      use_flash=self.use_flash, remat_attn=self.remat_attn,
+                      name="attn")(
             ln("norm1")(x).astype(self.dtype), train)
         if self.init_values:
             gamma1 = self.param("ls1", nn.initializers.constant(self.init_values),
@@ -158,6 +178,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False  # jax.checkpoint each block (HBM <-> recompute)
     use_flash: bool = False  # Pallas flash attention (long-seq configs)
+    remat_attn: bool = True  # recompute attn probs in bwd (saves f32 NxN residuals)
 
     @property
     def num_features(self) -> int:
@@ -204,6 +225,7 @@ class VisionTransformer(nn.Module):
                           self.qkv_bias, self.drop_rate, self.attn_drop_rate,
                           dpr[i], self.init_values, dtype=self.dtype,
                           use_flash=self.use_flash,
+                          remat_attn=self.remat_attn,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"
