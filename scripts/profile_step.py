@@ -21,7 +21,9 @@ import json
 
 def categorize(name: str) -> str:
     n = name.lower()
-    if "conv" in n:
+    if "convert" in n and "reduce" in n:
+        return "convert+reduce(f32 grad accum)"
+    if "conv" in n and "convert" not in n:
         return "conv"
     if "dot" in n or "dosort" not in n and "matmul" in n:
         return "matmul"
@@ -80,16 +82,29 @@ def main():
             and "args" in e}
     tpu_pids = [pid for pid, name in pids.items()
                 if "TPU" in name and "pjrt" not in name.lower()]
+    # keep only the "XLA Ops" thread track: the same pid also carries
+    # "XLA Modules" (whole-program umbrella events) and "Steps" (numbered
+    # region markers) tracks, which double-count every op into "other"
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in tpu_pids
+               and "XLA Ops" in e.get("args", {}).get("name", "")}
     by_cat = collections.Counter()
     by_op = collections.Counter()
+    op_count = collections.Counter()
+    long_names = {}
     n_ev = 0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         dur = e.get("dur", 0)
         name = e.get("name", "?")
         by_cat[categorize(name)] += dur
         by_op[name] += dur
+        op_count[name] += 1
+        ln = e.get("args", {}).get("long_name", "")
+        if ln and name not in long_names:
+            long_names[name] = ln
         n_ev += 1
     total = sum(by_cat.values())
     print(f"\n=== {n_ev} device ops over {args.steps} steps — "
@@ -98,7 +113,10 @@ def main():
         print(f"{dur / args.steps / 1e3:8.3f} ms/step  {cat}")
     print("\ntop 20 ops:")
     for name, dur in by_op.most_common(20):
-        print(f"{dur / args.steps / 1e3:8.3f} ms/step  {name[:100]}")
+        ln = long_names.get(name, "")
+        cnt = op_count[name] / args.steps
+        print(f"{dur / args.steps / 1e3:8.3f} ms/step x{cnt:5.1f}/step  "
+              f"{name[:60]}  {ln[:140]}")
 
 
 if __name__ == "__main__":
