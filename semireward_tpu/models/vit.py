@@ -77,8 +77,13 @@ class Attention(nn.Module):
                        bias_init=torch_bias_init,
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
+        # split on the LAST axis (contiguous thirds of the fused projection,
+        # identical elements to reshape(B,N,3,H,hd)[:,:,i]) — the 5-d reshape
+        # forces XLA to materialize a layout copy of the whole qkv tensor per
+        # layer (bf16[B,N,3,H,hd] {1,4,3,2,0}->{1,4,3,0,2}, ~0.4 ms/step on
+        # the headline bench); contiguous slices + 4-d reshapes are bitcasts
+        q, k, v = (t.reshape(B, N, H, hd)
+                   for t in jnp.split(qkv, 3, axis=-1))  # [B,N,H,hd]
         if self.use_flash and not (train and self.attn_drop > 0):
             # Pallas flash attention (ops/attention.py), forward AND custom-
             # VJP backward — O(N*d) HBM traffic. Opt-in: at USB sequence
