@@ -135,11 +135,21 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
     use_flash: bool = False
     remat_attn: bool = True
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                        param_dtype=jnp.float32, name=name)
+        mlp_cls = Mlp
+        if self.remat_mlp and not (train and self.drop > 0):
+            # recompute the [B,N,4C] fc1+gelu hidden in the backward instead
+            # of holding it fwd->bwd (the largest bf16 residual, 18.9 MB/layer
+            # at the headline geometry). Grads bit-identical. Measured SLOWER
+            # there (64.3 vs 66.2 steps/s — recompute > traffic saved), so
+            # opt-in: it pays off only when activation memory binds (large
+            # batch/seq configs).
+            mlp_cls = nn.remat(Mlp, static_argnums=(2,))
         h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype,
                       use_flash=self.use_flash, remat_attn=self.remat_attn,
@@ -151,8 +161,8 @@ class Block(nn.Module):
             h = h * gamma1
         rng = self.make_rng("dropout") if (train and self.drop_path > 0) else None
         x = x + _drop_path(h.astype(x.dtype), self.drop_path, not train, rng)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                dtype=self.dtype, name="mlp")(
+        h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                    dtype=self.dtype, name="mlp")(
             ln("norm2")(x).astype(self.dtype), train)
         if self.init_values:
             gamma2 = self.param("ls2", nn.initializers.constant(self.init_values),
@@ -184,6 +194,10 @@ class VisionTransformer(nn.Module):
     remat: bool = False  # jax.checkpoint each block (HBM <-> recompute)
     use_flash: bool = False  # Pallas flash attention (long-seq configs)
     remat_attn: bool = True  # recompute attn probs in bwd (saves f32 NxN residuals)
+    remat_mlp: bool = False  # recompute the 4C mlp hidden in bwd — measured NEGATIVE
+                             # at the headline geometry (64.3 vs 66.2 steps/s): the
+                             # fc1+gelu recompute costs more than the 18.9 MB/layer
+                             # residual saves; opt-in for memory-bound large configs
 
     @property
     def num_features(self) -> int:
@@ -231,6 +245,7 @@ class VisionTransformer(nn.Module):
                           dpr[i], self.init_values, dtype=self.dtype,
                           use_flash=self.use_flash,
                           remat_attn=self.remat_attn,
+                          remat_mlp=self.remat_mlp,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"
