@@ -99,3 +99,33 @@ def test_dnabert_registered_and_forwards():
     p = m.init(jax.random.PRNGKey(0), batch, train=False)["params"]
     out = m.apply({"params": p}, batch, train=False)
     assert out["logits"].shape == (1, 2)
+
+
+def test_vit_remat_flags_grads_bit_identical(rs):
+    """remat_attn / remat_mlp re-compute the same math in the backward —
+    gradients must be BIT-identical to the stored-residual path (they only
+    trade HBM residuals for recompute; see docs/benchmark.md)."""
+    from semireward_tpu.models.vit import VisionTransformer
+
+    kw = dict(num_classes=10, img_size=32, patch_size=2, embed_dim=64,
+              depth=2, num_heads=4, dtype=jnp.float32)
+    x = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    base = VisionTransformer(remat_attn=False, remat_mlp=False, **kw)
+    v = base.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, x, train=False)
+
+    def grads(model):
+        def f(p):
+            out = model.apply({"params": p}, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out["logits"] ** 2)
+        return jax.grad(f)(v["params"])
+
+    g0 = grads(base)
+    for flags in (dict(remat_attn=True, remat_mlp=False),
+                  dict(remat_attn=False, remat_mlp=True),
+                  dict(remat_attn=True, remat_mlp=True)):
+        g1 = grads(VisionTransformer(**flags, **kw))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), g0, g1)
