@@ -75,16 +75,27 @@ def equalize(img, _v):
     """PIL ImageOps.equalize, per channel:
     step = (npixels - hist[-1]) // 255;
     lut[i] = (step//2 + cumsum(hist)[:i]) // step  (identity if step == 0).
+
+    Gather/scatter-free: the histogram (a 256-bin scatter) and the LUT
+    application (a per-pixel gather) are both expressed as a one-hot
+    comparison reduced on the VPU — bincount/gather lower to serialized
+    scatter/gather fusions on TPU that measured ~75 ms/step batched over
+    the classic_cv geometry (448 images x 3 channels x 3 rounds), while
+    the compare+reduce forms fuse and vectorize. Results are identical
+    (integer equality on the truncated pixel values).
     """
+    bins = jnp.arange(256, dtype=jnp.int32)
+
     def eq_channel(ch):
-        flat = ch.reshape(-1).astype(jnp.int32)
-        hist = jnp.bincount(flat, length=256)
+        pix = ch.astype(jnp.int32)                      # PIL truncation
+        oh = (pix[..., None] == bins)                   # [H,W,256]
+        hist = jnp.sum(oh, axis=(0, 1), dtype=jnp.int32)
         step = (jnp.sum(hist) - hist[255]) // 255
         csum = jnp.cumsum(hist)
         excl = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
         lut = (step // 2 + excl) // jnp.maximum(step, 1)
         lut = jnp.clip(lut, 0, 255)
-        out = lut[flat].astype(jnp.float32).reshape(ch.shape)
+        out = jnp.sum(oh * lut[None, None, :].astype(jnp.float32), axis=-1)
         return jnp.where(step == 0, ch, out)
 
     chans = [eq_channel(img[..., c]) for c in range(img.shape[-1])]

@@ -141,6 +141,11 @@ def _randaugment_batch(rng, x, n: int, exclude_color: bool):
 
 
 def _crop_flip_single(rng, img, pad: int, hflip: bool):
+    """Per-image reference semantics (reflect-pad, random crop, hflip).
+    Kept as the executable spec for the batched fast path below — vmapping
+    this (dynamic_slice with per-image starts) lowers to a per-image
+    while-loop + dynamic-update-slice chain on TPU, ~47 ms/step at the
+    classic_cv geometry (448-image strong batch)."""
     kx, ky, kf = jax.random.split(rng, 3)
     if pad > 0:
         img = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
@@ -153,6 +158,39 @@ def _crop_flip_single(rng, img, pad: int, hflip: bool):
         flip = jax.random.bernoulli(kf, 0.5)
         img = jnp.where(flip, img[:, ::-1, :], img)
     return img
+
+
+def _crop_flip_batch(rng, x, pad: int, hflip: bool):
+    """Batched reflect-pad random crop + hflip as ONE gather.
+
+    Bit-identical to vmap(_crop_flip_single) — the per-image key derivation
+    (split(rng, B) then split(k, 3)) and offset draws are the same; the
+    reflect-pad + shifted crop is expressed as index arithmetic
+    (padded[p+r] == x[-r] for r<0, x[2(H-1)-r] for r>H-1) and the flip as a
+    column-index reversal, so the whole thing compiles to vectorized index
+    math + one [B,H,W,C] gather instead of a B-step while loop."""
+    B, H, W, C = x.shape
+    keys = jax.random.split(rng, B)
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [B,3,2]
+    kx, ky, kf = keys3[:, 0], keys3[:, 1], keys3[:, 2]
+    rows = jnp.broadcast_to(jnp.arange(H)[None, :], (B, H))
+    cols = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+    if pad > 0:
+        oy = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 * pad + 1))(ky)
+        ox = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 * pad + 1))(kx)
+        rows = rows + oy[:, None] - pad
+        cols = cols + ox[:, None] - pad
+        # numpy-'reflect' (no edge repeat) index folding; pad < H so one
+        # reflection suffices
+        rows = jnp.where(rows < 0, -rows, rows)
+        rows = jnp.where(rows > H - 1, 2 * (H - 1) - rows, rows)
+        cols = jnp.where(cols < 0, -cols, cols)
+        cols = jnp.where(cols > W - 1, 2 * (W - 1) - cols, cols)
+    if hflip:
+        flip = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(kf)
+        cols = jnp.where(flip[:, None], cols[:, ::-1], cols)
+    gathered = jax.vmap(lambda im, r, c: im[r][:, c])(x, rows, cols)
+    return gathered
 
 
 def random_resized_crop(rng, batch, out_size: int,
@@ -202,9 +240,7 @@ def normalize(x, mean: Sequence[float], std: Sequence[float]):
 def weak_augment(rng, batch, spec: AugmentSpec):
     """[B,H,W,C] uint8/float -> normalized float32."""
     x = batch.astype(jnp.float32)
-    keys = jax.random.split(rng, x.shape[0])
-    x = jax.vmap(lambda k, im: _crop_flip_single(k, im, spec.crop_pad,
-                                                 spec.hflip))(keys, x)
+    x = _crop_flip_batch(rng, x, spec.crop_pad, spec.hflip)
     return normalize(x, spec.mean, spec.std)
 
 
@@ -212,9 +248,7 @@ def randaugment(rng, batch, spec: AugmentSpec):
     """Strong view: crop/flip + RandAugment + Cutout, normalized."""
     x = batch.astype(jnp.float32)
     k1, k2 = jax.random.split(rng)
-    keys1 = jax.random.split(k1, x.shape[0])
-    x = jax.vmap(lambda k, im: _crop_flip_single(k, im, spec.crop_pad,
-                                                 spec.hflip))(keys1, x)
+    x = _crop_flip_batch(k1, x, spec.crop_pad, spec.hflip)
     x = _randaugment_batch(k2, x, spec.randaug_n, spec.exclude_color)
     return normalize(x, spec.mean, spec.std)
 

@@ -134,3 +134,22 @@ class TestPipeline:
         a = np.asarray(randaugment(jax.random.PRNGKey(0), jnp.asarray(x), spec))
         b = np.asarray(randaugment(jax.random.PRNGKey(1), jnp.asarray(x), spec))
         assert not np.allclose(a, b)
+
+
+def test_crop_flip_batch_matches_per_image_spec(rs):
+    """The batched gather-based crop+flip (pipeline._crop_flip_batch) is
+    BIT-identical to vmapping the per-image reference implementation — same
+    key derivation, same reflect-pad/crop/flip semantics, just expressed as
+    index math + one gather (the vmap(dynamic_slice) form lowers to a
+    per-image while loop on TPU, ~47 ms/step at classic_cv batch sizes)."""
+    from semireward_tpu.data.augment.pipeline import (_crop_flip_batch,
+                                                      _crop_flip_single)
+
+    x = jnp.asarray(rs.randint(0, 256, (7, 32, 32, 3)), jnp.float32)
+    for pad, hflip in ((4, True), (4, False), (0, True)):
+        rng = jax.random.PRNGKey(17 + pad)
+        keys = jax.random.split(rng, x.shape[0])
+        ref = jax.vmap(lambda k, im: _crop_flip_single(k, im, pad, hflip))(
+            keys, x)
+        got = _crop_flip_batch(rng, x, pad, hflip)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
