@@ -139,7 +139,14 @@ def sharpness(img, v):
 
 def _affine_nearest(img, a, b, c, d, e, f):
     """out(x,y) = img(a*x+b*y+c, d*x+e*y+f), nearest, black fill.
-    Coordinates use PIL's +0.5 pixel-center convention."""
+    Coordinates use PIL's +0.5 pixel-center convention.
+
+    Gather-free: `img[yc, xc]` is a per-pixel gather, which lowers to a
+    serialized gather fusion on TPU (~3.7 ms/round batched over the
+    classic_cv 448-image strong batch); two separable one-hot contractions
+    (rows then columns) select the identical pixels on the MXU/VPU instead
+    — multiplying by a one-hot and summing zeros is exact, so results are
+    bit-identical."""
     H, W = img.shape[0], img.shape[1]
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
     xs = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -152,7 +159,10 @@ def _affine_nearest(img, a, b, c, d, e, f):
     valid = (xn >= 0) & (xn < W) & (yn >= 0) & (yn < H)
     xc = jnp.clip(xn, 0, W - 1)
     yc = jnp.clip(yn, 0, H - 1)
-    out = img[yc, xc]
+    rsel = (yc[..., None] == jnp.arange(H)).astype(img.dtype)  # [H,W,H]
+    csel = (xc[..., None] == jnp.arange(W)).astype(img.dtype)  # [H,W,W]
+    tmp = jnp.einsum("yxh,hwc->yxwc", rsel, img)
+    out = jnp.einsum("yxw,yxwc->yxc", csel, tmp)
     return jnp.where(valid[..., None], out, 0.0)
 
 
