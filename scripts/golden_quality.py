@@ -21,6 +21,10 @@ import json
 
 THRESHOLD_FAMILIES = ["fixmatch", "flexmatch", "freematch", "softmatch",
                       "uda", "adamatch", "dash"]
+# the consistency / mixing / net-wrapper families (everything else in the
+# ALGORITHMS registry that trains on unlabeled data)
+EXTRA_FAMILIES = ["pseudolabel", "meanteacher", "pimodel", "vat", "mixmatch",
+                  "remixmatch", "comatch", "simmatch", "crmatch", "defixmatch"]
 IMB_METHODS = ["saw", "debiaspl", "abc"]
 
 
@@ -31,10 +35,27 @@ def main():
     p.add_argument("--sr_iters", type=int, default=500)
     p.add_argument("--imb_iters", type=int, default=400)
     p.add_argument("--skip_imb", action="store_true")
+    p.add_argument("--skip_extra", action="store_true",
+                   help="skip the consistency/net-wrapper families")
+    p.add_argument("--only_extra", action="store_true",
+                   help="run ONLY the extra families and merge them into an "
+                        "existing QUALITY_r<round>.json")
     args = p.parse_args()
 
     from semireward_tpu.validation import (imb_gain, run_golden,
                                            sr_noise_experiment)
+
+    out_path = f"QUALITY_r{args.round:02d}.json"
+    if args.only_extra:
+        with open(out_path) as f:
+            report = json.load(f)
+        sup = report["labeled_only_acc"]
+        _run_extra(report, sup, args, run_golden)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, default=float)
+        print(f"updated {out_path}")
+        _write_md(report)
+        return
 
     report = {"iters": args.iters, "seed": 0}
 
@@ -47,6 +68,10 @@ def main():
         fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
     report["thresholding_families"] = fam
+
+    # 1b) the remaining families (consistency / mixing / net-wrapper)
+    if not args.skip_extra:
+        _run_extra(report, sup, args, run_golden)
 
     # 2) SemiReward under pseudo-label noise + the downweighting control
     sr = sr_noise_experiment(noise_frac=0.4, iters=args.sr_iters,
@@ -79,6 +104,19 @@ def main():
     _write_md(report)
 
 
+def _run_extra(report, sup, args, run_golden):
+    fam = report.setdefault("other_families", {})
+    for alg in EXTRA_FAMILIES:
+        try:
+            acc = run_golden(alg, iters=args.iters, lambda_u=1.0)["acc"]
+        except Exception as e:  # keep the sweep going, record the failure
+            print(f"[golden] {alg}: FAILED {e}")
+            fam[alg] = {"error": str(e)[:200]}
+            continue
+        fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
+        print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
+
+
 def _write_md(report):
     lines = [
         "# Golden-learning quality report",
@@ -97,6 +135,16 @@ def _write_md(report):
     for alg, r in report["thresholding_families"].items():
         lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
                      f"{r['gain_vs_labeled_only']:+.4f} |")
+    if report.get("other_families"):
+        lines += ["", "## Consistency / mixing / net-wrapper families", "",
+                  "| algorithm | SSL acc | gain vs labeled-only |",
+                  "|---|---|---|"]
+        for alg, r in report["other_families"].items():
+            if "error" in r:
+                lines.append(f"| {alg} | run failed | — |")
+            else:
+                lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
+                             f"{r['gain_vs_labeled_only']:+.4f} |")
     if report["thresholding_families"].get("adamatch", {}).get(
             "gain_vs_labeled_only", 0) < 0:
         lines += ["", "adamatch trails the baseline at this horizon: its "
