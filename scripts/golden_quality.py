@@ -145,6 +145,18 @@ def _write_md(report):
             else:
                 lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
                              f"{r['gain_vs_labeled_only']:+.4f} |")
+        lines += ["",
+                  "Short-horizon caveat: every family above runs a finite "
+                  "jitted step and trains its auxiliary machinery, but the "
+                  "contrastive/queue methods (comatch, simmatch), the "
+                  "rotation-task method (crmatch — rotation prediction is "
+                  "pure noise on rotation-invariant synthetic blobs), vat's "
+                  "adversarial perturbation, and defixmatch's negative "
+                  "branch need horizons and data far beyond 300 synthetic "
+                  "iters to pay off — the reference's published numbers for "
+                  "them come from 2^20-iteration CIFAR runs. The table is "
+                  "evidence of end-to-end training mechanics, not of "
+                  "relative algorithm quality at this horizon."]
     if report["thresholding_families"].get("adamatch", {}).get(
             "gain_vs_labeled_only", 0) < 0:
         lines += ["", "adamatch trails the baseline at this horizon: its "
