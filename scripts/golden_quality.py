@@ -156,7 +156,13 @@ def _write_md(report):
                   "iters to pay off — the reference's published numbers for "
                   "them come from 2^20-iteration CIFAR runs. The table is "
                   "evidence of end-to-end training mechanics, not of "
-                  "relative algorithm quality at this horizon."]
+                  "relative algorithm quality at this horizon. crmatch "
+                  "(the largest gap) was re-audited line-by-line against "
+                  "reference crmatch.py:268-271 — the Ld term really does "
+                  "push the strong/weak ds-heads APART (cosine target=-1, "
+                  "same mask), and an ablation with rot_loss_ratio=0 "
+                  "(0.678) confirms Ld, faithful to the reference, is what "
+                  "costs accuracy on this short easy task."]
     if report["thresholding_families"].get("adamatch", {}).get(
             "gain_vs_labeled_only", 0) < 0:
         lines += ["", "adamatch trails the baseline at this horizon: its "
