@@ -68,7 +68,7 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
     return 3.0 * fwd_flops_per_image * images  # bwd ~= 2x fwd
 
 
-def build_trainer(mode: str):
+def build_trainer(mode: str, flat: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -97,6 +97,8 @@ def build_trainer(mode: str):
             N_k=10, feature_dim=384, sr_ema=False,
             seed=0, save_name="bench", mesh_shape=(-1,)))
     cfg.extra["synthetic_train"] = 2048
+    if flat:
+        cfg.extra["flat_optimizer"] = True
     return cfg, Trainer(cfg)
 
 
@@ -169,6 +171,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["headline", "large"],
                    default="headline")
+    p.add_argument("--flat", action="store_true",
+                   help="run the raveled-vector optimizer path")
     args = p.parse_args()
 
     import os
@@ -182,7 +186,7 @@ def main():
 
     import semireward_tpu  # noqa: F401
 
-    cfg, trainer = build_trainer(args.mode)
+    cfg, trainer = build_trainer(args.mode, flat=args.flat)
     steps_per_sec = measure_steps(trainer, cfg)
     n_chips = jax.device_count()
     sps_chip = steps_per_sec / n_chips
