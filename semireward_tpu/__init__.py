@@ -27,6 +27,9 @@ try:  # modality dataset getters (reference get_dataset name dispatch)
 
     DATASETS.register(_nlp_get, name="nlp")
     DATASETS.register(_audio_get, name="audio")
+    from semireward_tpu.data.bio import get_bio_dataset as _bio_get
+
+    DATASETS.register(_bio_get, name="bio")
 except ImportError:  # pragma: no cover
     pass
 
