@@ -40,12 +40,29 @@ def main():
     p.add_argument("--only_extra", action="store_true",
                    help="run ONLY the extra families and merge them into an "
                         "existing QUALITY_r<round>.json")
+    p.add_argument("--seed", type=int, default=0,
+                   help="data/init seed; a non-zero seed writes "
+                        "QUALITY_r<round>_seed<seed>.json (robustness check) "
+                        "and leaves docs/quality.md untouched")
     args = p.parse_args()
+
+    # persistent XLA compile cache (same dir bench.py uses): re-sweeps with
+    # identical programs (e.g. other seeds) skip the remote compiles
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from semireward_tpu.validation import (imb_gain, run_golden,
                                            sr_noise_experiment)
 
-    out_path = f"QUALITY_r{args.round:02d}.json"
+    suffix = f"_seed{args.seed}" if args.seed else ""
+    out_path = f"QUALITY_r{args.round:02d}{suffix}.json"
     if args.only_extra:
         with open(out_path) as f:
             report = json.load(f)
@@ -57,14 +74,16 @@ def main():
         _write_md(report)
         return
 
-    report = {"iters": args.iters, "seed": 0}
+    report = {"iters": args.iters, "seed": args.seed}
 
     # 1) shared labeled-only baseline + every thresholding family
-    sup = run_golden("fixmatch", iters=args.iters, lambda_u=0.0)["acc"]
+    sup = run_golden("fixmatch", iters=args.iters, lambda_u=0.0,
+                     seed=args.seed)["acc"]
     report["labeled_only_acc"] = sup
     fam = {}
     for alg in THRESHOLD_FAMILIES:
-        acc = run_golden(alg, iters=args.iters, lambda_u=1.0)["acc"]
+        acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
+                         seed=args.seed)["acc"]
         fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
     report["thresholding_families"] = fam
@@ -75,14 +94,15 @@ def main():
 
     # 2) SemiReward under pseudo-label noise + the downweighting control
     sr = sr_noise_experiment(noise_frac=0.4, iters=args.sr_iters,
-                             start_timing=120)
+                             start_timing=120, seed=args.seed)
     # control: same noisy flexmatch with lambda_u scaled to SR's observed
     # keep rate — distinguishes "reward selects good labels" from "reward
     # filter merely downweights the unsup loss"
     from semireward_tpu.validation import make_noisy_flexmatch
     NoisyFlex, _ = make_noisy_flexmatch(0.4)
     ctrl = run_golden("flexmatch", alg_factory=lambda c, d: NoisyFlex(c, d),
-                      iters=args.sr_iters, lambda_u=0.33)["acc"]
+                      iters=args.sr_iters, lambda_u=0.33,
+                      seed=args.seed)["acc"]
     sr["control_downweighted_acc"] = ctrl
     report["semireward_noise"] = sr
     print(f"[golden] sr noise: {json.dumps(sr, default=float)}")
@@ -91,24 +111,28 @@ def main():
     if not args.skip_imb:
         imb = {}
         for m in IMB_METHODS:
-            out = imb_gain(m, gamma=10.0, iters=args.imb_iters)
+            out = imb_gain(m, gamma=10.0, iters=args.imb_iters,
+                           seed=args.seed)
             imb[m] = out
             print(f"[golden] imb {m}: {json.dumps(out, default=float)}")
         report["imbalanced"] = imb
 
-    out_path = f"QUALITY_r{args.round:02d}.json"
+    suffix = f"_seed{args.seed}" if args.seed else ""
+    out_path = f"QUALITY_r{args.round:02d}{suffix}.json"
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, default=float)
     print(f"wrote {out_path}")
 
-    _write_md(report)
+    if not args.seed:
+        _write_md(report)
 
 
 def _run_extra(report, sup, args, run_golden):
     fam = report.setdefault("other_families", {})
     for alg in EXTRA_FAMILIES:
         try:
-            acc = run_golden(alg, iters=args.iters, lambda_u=1.0)["acc"]
+            acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
+                             seed=args.seed)["acc"]
         except Exception as e:  # keep the sweep going, record the failure
             print(f"[golden] {alg}: FAILED {e}")
             fam[alg] = {"error": str(e)[:200]}
