@@ -141,6 +141,60 @@ def _run_extra(report, sup, args, run_golden):
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
 
 
+def _seed_section(report):
+    """Cross-seed robustness table, if QUALITY_r*_seed*.json siblings exist."""
+    import glob
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    sibs = sorted(glob.glob(_os.path.join(root, "QUALITY_r*_seed*.json")))
+    if not sibs:
+        return []
+    alt = json.load(open(sibs[-1]))
+    lines = ["", "## Seed robustness",
+             "",
+             f"The sweep re-run at seed {alt['seed']} "
+             f"(labeled-only {alt['labeled_only_acc']:.4f}; file "
+             f"`{_os.path.basename(sibs[-1])}`):",
+             "",
+             "| algorithm | gain @seed0 | gain @seed" + str(alt["seed"]) +
+             " |", "|---|---|---|"]
+    all_fams = {**report.get("thresholding_families", {}),
+                **report.get("other_families", {})}
+    alt_fams = {**alt.get("thresholding_families", {}),
+                **alt.get("other_families", {})}
+    neg_both = []
+    for algn, r in all_fams.items():
+        a = alt_fams.get(algn, {})
+        g0, g1 = r.get("gain_vs_labeled_only"), a.get("gain_vs_labeled_only")
+        if g0 is None or g1 is None:
+            continue
+        lines.append(f"| {algn} | {g0:+.4f} | {g1:+.4f} |")
+        if g0 < 0 and g1 < 0:
+            neg_both.append(algn)
+    sr0, sr1 = report["semireward_noise"], alt.get("semireward_noise", {})
+    lines += [
+        "",
+        f"Reading: at a 300-iter horizon the per-seed SSL gain is dominated "
+        f"by variance — the families that trail at one seed win at the "
+        f"other (mixmatch {all_fams['mixmatch']['gain_vs_labeled_only']:+.3f}"
+        f" vs {alt_fams['mixmatch']['gain_vs_labeled_only']:+.3f}, vat "
+        f"{all_fams['vat']['gain_vs_labeled_only']:+.3f} vs "
+        f"{alt_fams['vat']['gain_vs_labeled_only']:+.3f}). "
+        + (f"Only {', '.join(neg_both)} trail at both seeds (see the "
+           f"short-horizon caveat above). " if neg_both else "")
+        + f"The SemiReward noise-recovery result REPLICATES: "
+        f"{sr0['sr_gain']:+.3f} at seed 0, {sr1.get('sr_gain', float('nan')):+.3f} "
+        f"at seed {alt['seed']}. The static-downweighting control is "
+        f"seed-sensitive (SR beats it at seed 0 by "
+        f"{sr0['sr_noisy_flexmatch_acc'] - sr0['control_downweighted_acc']:+.3f}, "
+        f"trails it at seed {alt['seed']} by "
+        f"{sr1.get('sr_noisy_flexmatch_acc', float('nan')) - sr1.get('control_downweighted_acc', float('nan')):+.3f}) "
+        f"— on short synthetic horizons both mechanisms mitigate noise; the "
+        f"reference's long-horizon claims are where SR's selection is "
+        f"supposed to separate, and that regime is out of reach here.",
+    ]
+    return lines
+
+
 def _write_md(report):
     lines = [
         "# Golden-learning quality report",
@@ -224,6 +278,7 @@ def _write_md(report):
             lines.append(
                 f"| {m} over {r['base']} | {r['base_balanced_acc']:.4f} | "
                 f"{r['imb_balanced_acc']:.4f} | {r['gain']:+.4f} |")
+    lines += _seed_section(report)
     os_path = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), "docs", "quality.md")
     with open(os_path, "w") as f:
