@@ -191,6 +191,16 @@ def _seed_section(report):
         f"— on short synthetic horizons both mechanisms mitigate noise; the "
         f"reference's long-horizon claims are where SR's selection is "
         f"supposed to separate, and that regime is out of reach here.",
+        "",
+        "We also probed a LONGER horizon (1000 iters, both seeds): the "
+        "noisy baseline then recovers on its own (0.44 -> 0.66 at seed 0 — "
+        "2048 easy synthetic samples eventually overwhelm 40% label noise) "
+        "and SR's ~27% keep-rate filtering slows late training below the "
+        "unfiltered baseline. The synthetic task therefore cannot support "
+        "long-horizon noise claims in either direction; the 300-500-iter "
+        "window, where the baseline is noise-limited, is the regime this "
+        "report measures. Scaling the noise study to the reference's "
+        "CIFAR-scale runs needs real data unavailable in this environment.",
     ]
     return lines
 
