@@ -96,6 +96,94 @@ def fsdp_state_sharding(mesh: Mesh, state, axis: str = "fsdp",
     )
 
 
+def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
+                      extra_axis: Optional[str] = None):
+    """Megatron-style tensor-parallel layout for the transformer backbones
+    (ViT/BERT/HuBERT/wav2vec2 param trees): column-parallel projections
+    (attention qkv, MLP fc1) shard their OUTPUT dim over `axis`,
+    row-parallel projections (attention proj/out, MLP fc2) shard their
+    INPUT dim, biases of column-parallel layers shard with the output,
+    everything else replicates. Under jit, XLA/GSPMD partitions the
+    matmuls along these annotations and inserts the all-reduce after each
+    row-parallel matmul over ICI (the scaling-book recipe — no explicit
+    collectives in model code).
+
+    ``extra_axis``: optionally lay a second (fsdp) axis on the opposite
+    matrix dim of each sharded kernel for a combined tp x fsdp layout.
+    """
+    col_kernels = ("qkv", "fc1", "query", "key", "value", "intermediate")
+    row_kernels = ("proj", "fc2", "out", "output")
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        leafname = names[-1] if names else ""
+        parent = names[-2] if len(names) > 1 else ""
+        ndim = getattr(leaf, "ndim", 0)
+        n_shard = mesh.shape[axis]
+
+        def ok(dim):
+            return ndim >= 1 and leaf.shape[dim] % n_shard == 0
+
+        if any(k == parent or parent.endswith(k) for k in col_kernels):
+            if leafname == "kernel" and ndim == 2 and ok(1):
+                parts = [extra_axis, axis]
+                return NamedSharding(mesh, P(*parts))
+            if leafname == "bias" and ndim == 1 and ok(0):
+                return NamedSharding(mesh, P(axis))
+        if any(k == parent or parent.endswith(k) for k in row_kernels):
+            if leafname == "kernel" and ndim == 2 and ok(0):
+                parts = [axis, extra_axis]
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def tp_state_sharding(mesh: Mesh, state, axis: str = "model",
+                      extra_axis: Optional[str] = None):
+    """Apply the tensor-parallel layout to the WHOLE TrainState: params,
+    the EMA shadow, and optimizer moments all follow ``tp_param_sharding``
+    (optax moment subtrees mirror param shapes, so the same path rule
+    applies); scalars/batch-stats/algorithm state replicate."""
+    rep = NamedSharding(mesh, P())
+
+    def tp(t):
+        return tp_param_sharding(mesh, t, axis=axis, extra_axis=extra_axis)
+
+    def tp_opt(opt_state):
+        # optax states are tuples of NamedTuples whose array leaves mirror
+        # the param tree (e.g. ScaleByAdamState.mu/.nu); map any subtree
+        # whose structure matches params, replicate the rest
+        pdef = jax.tree_util.tree_structure(state.params)
+
+        def walk(node):
+            try:
+                if jax.tree_util.tree_structure(node) == pdef:
+                    return tp(node)
+            except Exception:
+                pass
+            if isinstance(node, tuple):
+                children = [walk(c) for c in node]
+                return (type(node)(*children) if hasattr(node, "_fields")
+                        else tuple(children))
+            return jax.tree_util.tree_map(lambda _: rep, node)
+
+        return walk(opt_state)
+
+    return state.replace(
+        params=tp(state.params),
+        ema_params=tp(state.ema_params),
+        opt_state=tp_opt(state.opt_state),
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        algo=jax.tree_util.tree_map(lambda _: rep, state.algo),
+        sr=(jax.tree_util.tree_map(lambda _: rep, state.sr)
+            if state.sr is not None else None),
+        rng=rep,
+        step=rep,
+    )
+
+
 def setup_distributed(cfg=None) -> Tuple[int, int]:
     """Multi-host slice bootstrap. Every host of a TPU pod slice runs the
     same program; ``jax.distributed.initialize()`` wires them from the TPU

@@ -126,3 +126,69 @@ class TestMultiHostPlumbing:
         out = put_global_batch(sh, batch)
         np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
         assert out["x"].sharding == sh
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+class TestTensorParallel:
+    """tp_param_sharding / tp_state_sharding: Megatron-style column/row
+    kernel sharding over a 'model' axis. GSPMD partitions the matmuls and
+    inserts the row-parallel all-reduce; these tests assert (a) the big
+    kernels actually shard, (b) a full ViT train step under dp x tp
+    matches the replicated step numerically."""
+
+    def _vit_setup(self):
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="vit_tiny_patch2_32", num_classes=4,
+            batch_size=8, uratio=1, num_train_iter=50, lr=1e-3,
+            optim="AdamW", ema_m=0.999, img_size=32,
+            compute_dtype="float32", feature_dim=192, p_cutoff=0.0))
+        model = NETS.get("vit_tiny_patch2_32")(num_classes=4,
+                                               dtype=jnp.float32, depth=2)
+        alg = ALGORITHMS.get("fixmatch")(cfg, {"ulb_dest_len": 64})
+        state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 32, 32, 3)))
+        step = make_train_step(cfg, alg, model, tx)
+        return cfg, state, step
+
+    def test_tp_layout_shards_the_right_kernels(self):
+        _, state, _ = self._vit_setup()
+        mesh = mesh_lib.build_mesh((4, 2), ("data", "model"))
+        specs = mesh_lib.tp_param_sharding(mesh, state.params)
+        blk = specs["blocks0"]
+        assert blk["attn"]["qkv"]["kernel"].spec == P(None, "model")
+        assert blk["attn"]["qkv"]["bias"].spec == P("model")
+        assert blk["attn"]["proj"]["kernel"].spec == P("model", None)
+        assert blk["mlp"]["fc1"]["kernel"].spec == P(None, "model")
+        assert blk["mlp"]["fc2"]["kernel"].spec == P("model", None)
+        # row-parallel bias and non-matmul leaves replicate
+        assert blk["attn"]["proj"]["bias"].spec == P()
+        assert specs["cls_token"].spec == P()
+        assert specs["norm"]["scale"].spec == P()
+
+    def test_tp_step_matches_replicated(self, rs):
+        cfg, state0, step = self._vit_setup()
+        B = cfg.batch_size
+
+        # replicated single-mesh reference
+        state_r = jax.device_put(state0, jax.devices()[0])
+        batch_np = batch_of(rs, B, 4)
+        jstep = jax.jit(step)
+        state_r, metrics_r = jstep(state_r, jax.device_put(batch_np))
+
+        # dp x tp mesh: batch over 'data', whole state in TP layout
+        mesh = mesh_lib.build_mesh((4, 2), ("data", "model"))
+        _, state1, _ = self._vit_setup()  # fresh buffers (donation-safe)
+        state_t = jax.device_put(
+            state1, mesh_lib.tp_state_sharding(mesh, state1))
+        fc1 = state_t.params["blocks0"]["mlp"]["fc1"]["kernel"]
+        assert not fc1.sharding.is_fully_replicated
+        dat = NamedSharding(mesh, P("data"))
+        batch_t = {k: jax.device_put(v, dat) for k, v in batch_np.items()}
+        state_t, metrics_t = jax.jit(step)(state_t, batch_t)
+
+        np.testing.assert_allclose(
+            float(metrics_t["total_loss"]), float(metrics_r["total_loss"]),
+            rtol=2e-5)
+        got = np.asarray(state_t.params["blocks0"]["mlp"]["fc1"]["kernel"])
+        want = np.asarray(state_r.params["blocks0"]["mlp"]["fc1"]["kernel"])
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-6)
