@@ -205,7 +205,15 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             datash = NamedSharding(self.mesh, P("data"))
-            if "fsdp" in self.mesh.axis_names:
+            if "model" in self.mesh.axis_names:
+                # tensor-parallel (+ optional fsdp) stretch layout:
+                # Megatron-style column/row kernel sharding over 'model',
+                # opposite kernel dim over 'fsdp' when present
+                # (parallel/mesh.py:tp_state_sharding)
+                extra = ("fsdp" if "fsdp" in self.mesh.axis_names else None)
+                state_sh = mesh_lib.tp_state_sharding(self.mesh, self.state,
+                                                      extra_axis=extra)
+            elif "fsdp" in self.mesh.axis_names:
                 # 2-D (data, fsdp) stretch layout: params/EMA/opt moments
                 # shard over the fsdp axis (parallel/mesh.py)
                 state_sh = mesh_lib.fsdp_state_sharding(self.mesh, self.state)
