@@ -192,3 +192,26 @@ class TestTensorParallel:
         got = np.asarray(state_t.params["blocks0"]["mlp"]["fc1"]["kernel"])
         want = np.asarray(state_r.params["blocks0"]["mlp"]["fc1"]["kernel"])
         np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-6)
+
+    def test_tp_layout_covers_bert(self):
+        """The path rules also land on the BERT tree: query/key/value and
+        intermediate are column-parallel, attention-output and FFN-output
+        row-parallel (Megatron's original BERT mapping)."""
+        import semireward_tpu as st
+        model = st.get_net_builder("bert_base_uncased")(
+            num_classes=2, dtype=jnp.float32, num_layers=1)
+        ids = jnp.ones((1, 8), jnp.int32)
+        batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids)}
+        params = model.init(jax.random.PRNGKey(0), batch,
+                            train=False)["params"]
+        mesh = mesh_lib.build_mesh((4, 2), ("data", "model"))
+        specs = mesh_lib.tp_param_sharding(mesh, params)
+        layer = [v for k, v in specs.items() if k.startswith("layer")][0]
+        assert layer["attention"]["query"]["kernel"].spec == P(None, "model")
+        assert layer["attention"]["value"]["bias"].spec == P("model")
+        assert layer["attention"]["output"]["kernel"].spec == P("model", None)
+        assert layer["intermediate"]["kernel"].spec == P(None, "model")
+        assert layer["output"]["kernel"].spec == P("model", None)
+        assert layer["output"]["bias"].spec == P()
+        assert specs["tok_emb"]["embedding"].spec == P() \
+            if "tok_emb" in specs else True
