@@ -192,6 +192,14 @@ def _seed_section(report):
         f"reference's long-horizon claims are where SR's selection is "
         f"supposed to separate, and that regime is out of reach here.",
         "",
+        "A 1000-iter probe at seed 1 confirms the horizon story for the "
+        "curriculum-threshold families "
+        "(`QUALITY_r02_horizon_probe.json`): vs a 0.883 labeled-only "
+        "baseline, fixmatch reaches 0.967 (+0.084), freematch 0.969 "
+        "(+0.086 — it was -0.330 at 300 iters: its self-adaptive "
+        "threshold needs warm-up steps), flexmatch 0.897 (+0.014); "
+        "softmatch (-0.111) is the remaining laggard at this seed.",
+        "",
         "We also probed a LONGER horizon (1000 iters, both seeds): the "
         "noisy baseline then recovers on its own (0.44 -> 0.66 at seed 0 — "
         "2048 easy synthetic samples eventually overwhelm 40% label noise) "
