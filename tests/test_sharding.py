@@ -215,3 +215,25 @@ class TestTensorParallel:
         assert layer["output"]["bias"].spec == P()
         assert specs["tok_emb"]["embedding"].spec == P() \
             if "tok_emb" in specs else True
+
+    def test_trainer_wires_tp_from_config(self):
+        """mesh_axes containing 'model' makes the Trainer train under
+        tp_state_sharding end-to-end (train + eval cadence)."""
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="vit_tiny_patch2_32",
+            dataset="synthetic", num_classes=4, num_labels=8, batch_size=8,
+            uratio=1, eval_batch_size=16, img_size=32, num_train_iter=2,
+            num_eval_iter=1 << 30, num_log_iter=1, optim="AdamW", lr=1e-3,
+            ema_m=0.0, feature_dim=192, seed=0, compute_dtype="float32",
+            mesh_shape=(4, 2), mesh_axes=("data", "model"),
+            save_dir="/tmp/srt_tp_trainer"))
+        cfg.extra.update(synthetic_train=64, synthetic_test=32,
+                         net_kwargs=dict(depth=2))
+        tr = Trainer(cfg)
+        fc1 = tr.state.params["blocks0"]["mlp"]["fc1"]["kernel"]
+        assert not fc1.sharding.is_fully_replicated
+        res = tr.train(num_iters=2)
+        assert np.isfinite(res["eval/top-1-acc"])
