@@ -142,34 +142,46 @@ def _run_extra(report, sup, args, run_golden):
 
 
 def _seed_section(report):
-    """Cross-seed robustness table, if QUALITY_r*_seed*.json siblings exist."""
+    """Cross-seed robustness table over all QUALITY_r*_seed*.json siblings
+    (the reference reports its own tables as mean±std over 3 seeds)."""
     import glob
+    import statistics
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     sibs = sorted(glob.glob(_os.path.join(root, "QUALITY_r*_seed*.json")))
+    sibs = [s for s in sibs if "probe" not in s]
     if not sibs:
         return []
-    alt = json.load(open(sibs[-1]))
+    alts = [json.load(open(s)) for s in sibs]
+    reports = [report] + alts
+    seeds = [r["seed"] for r in reports]
     lines = ["", "## Seed robustness",
              "",
-             f"The sweep re-run at seed {alt['seed']} "
-             f"(labeled-only {alt['labeled_only_acc']:.4f}; file "
-             f"`{_os.path.basename(sibs[-1])}`):",
+             f"The sweep across seeds {seeds} (labeled-only baselines "
+             + ", ".join(f"{r['labeled_only_acc']:.3f}" for r in reports)
+             + "):",
              "",
-             "| algorithm | gain @seed0 | gain @seed" + str(alt["seed"]) +
-             " |", "|---|---|---|"]
-    all_fams = {**report.get("thresholding_families", {}),
-                **report.get("other_families", {})}
-    alt_fams = {**alt.get("thresholding_families", {}),
-                **alt.get("other_families", {})}
+             "| algorithm | " + " | ".join(f"gain @s{s}" for s in seeds)
+             + " | mean ± std |", "|---|" + "---|" * (len(seeds) + 1)]
+
+    def fams(r):
+        return {**r.get("thresholding_families", {}),
+                **r.get("other_families", {})}
+
+    per = [fams(r) for r in reports]
+    all_fams, alt_fams = per[0], per[1]
     neg_both = []
     for algn, r in all_fams.items():
-        a = alt_fams.get(algn, {})
-        g0, g1 = r.get("gain_vs_labeled_only"), a.get("gain_vs_labeled_only")
-        if g0 is None or g1 is None:
+        gains = [p.get(algn, {}).get("gain_vs_labeled_only") for p in per]
+        if any(g is None for g in gains):
             continue
-        lines.append(f"| {algn} | {g0:+.4f} | {g1:+.4f} |")
-        if g0 < 0 and g1 < 0:
+        mu = statistics.mean(gains)
+        sd = statistics.stdev(gains) if len(gains) > 1 else 0.0
+        lines.append(f"| {algn} | "
+                     + " | ".join(f"{g:+.3f}" for g in gains)
+                     + f" | {mu:+.3f} ± {sd:.3f} |")
+        if all(g < 0 for g in gains):
             neg_both.append(algn)
+    alt = alts[0]
     sr0, sr1 = report["semireward_noise"], alt.get("semireward_noise", {})
     lines += [
         "",
@@ -179,18 +191,26 @@ def _seed_section(report):
         f" vs {alt_fams['mixmatch']['gain_vs_labeled_only']:+.3f}, vat "
         f"{all_fams['vat']['gain_vs_labeled_only']:+.3f} vs "
         f"{alt_fams['vat']['gain_vs_labeled_only']:+.3f}). "
-        + (f"Only {', '.join(neg_both)} trail at both seeds (see the "
+        + (f"Only {', '.join(neg_both)} trail at every seed (see the "
            f"short-horizon caveat above). " if neg_both else "")
-        + f"The SemiReward noise-recovery result REPLICATES: "
-        f"{sr0['sr_gain']:+.3f} at seed 0, {sr1.get('sr_gain', float('nan')):+.3f} "
-        f"at seed {alt['seed']}. The static-downweighting control is "
-        f"seed-sensitive (SR beats it at seed 0 by "
-        f"{sr0['sr_noisy_flexmatch_acc'] - sr0['control_downweighted_acc']:+.3f}, "
-        f"trails it at seed {alt['seed']} by "
-        f"{sr1.get('sr_noisy_flexmatch_acc', float('nan')) - sr1.get('control_downweighted_acc', float('nan')):+.3f}) "
-        f"— on short synthetic horizons both mechanisms mitigate noise; the "
-        f"reference's long-horizon claims are where SR's selection is "
-        f"supposed to separate, and that regime is out of reach here.",
+        + f"SemiReward noise recovery per seed: "
+        + ", ".join(f"{r['semireward_noise']['sr_gain']:+.3f} @s{r['seed']}"
+                    f" (noisy base {r['semireward_noise']['noisy_flexmatch_acc']:.2f})"
+                    for r in reports if "semireward_noise" in r)
+        + ". The recovery is large wherever the noisy baseline is still "
+        "noise-limited at the 500-iter horizon; at seeds where the easy "
+        "synthetic task has already partly self-recovered, the ~27% "
+        "keep-rate costs more than filtering saves (the same saturation "
+        "phenomenon as the 1000-iter probe below). Against the "
+        "static-downweighting control SR is "
+        + ", ".join(
+            f"{r['semireward_noise']['sr_noisy_flexmatch_acc'] - r['semireward_noise']['control_downweighted_acc']:+.3f} @s{r['seed']}"
+            for r in reports
+            if "semireward_noise" in r
+            and "control_downweighted_acc" in r["semireward_noise"])
+        + " — on short synthetic horizons both mechanisms mitigate noise; "
+        "the reference's long-horizon claims are where SR's selection is "
+        "supposed to separate, and that regime is out of reach here.",
         "",
         "A 1000-iter probe at seed 1 confirms the horizon story for the "
         "curriculum-threshold families "
