@@ -173,7 +173,11 @@ def _layer_id(names, num_layers):
 
 
 def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
-    return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype)
+    fields = {k: v for k, v in kw.items() if k in ("hidden", "layers", "heads")}
+    if "num_layers" in kw:
+        fields["layers"] = kw["num_layers"]
+    return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,
+                                          **fields)
 
 
 hubert_base.layer_id_fn = _layer_id

@@ -83,9 +83,22 @@ def load_vit_checkpoint(params, checkpoint_path: str,
         for ln in ("norm1", "norm2"):
             set_((dst, ln, "scale"), sd[src + ln + ".weight"])
             set_((dst, ln, "bias"), sd[src + ln + ".bias"])
-        set_((dst, "attn", "qkv", "kernel"), sd[src + "attn.qkv.weight"], True)
-        if src + "attn.qkv.bias" in sd:
-            set_((dst, "attn", "qkv", "bias"), sd[src + "attn.qkv.bias"])
+        if "qkv" in p[dst]["attn"]:
+            set_((dst, "attn", "qkv", "kernel"), sd[src + "attn.qkv.weight"],
+                 True)
+            if src + "attn.qkv.bias" in sd:
+                set_((dst, "attn", "qkv", "bias"), sd[src + "attn.qkv.bias"])
+        else:
+            # split_qkv=True (tensor-parallel) tree: the torch fused qkv
+            # weight is [3C, C] with contiguous thirds [q; k; v] — split it
+            # onto the three separate projections (identical math)
+            w3 = sd[src + "attn.qkv.weight"]
+            C = w3.shape[0] // 3
+            for j, nm in enumerate(("q", "k", "v")):
+                set_((dst, "attn", nm, "kernel"), w3[j * C:(j + 1) * C], True)
+                if src + "attn.qkv.bias" in sd:
+                    set_((dst, "attn", nm, "bias"),
+                         sd[src + "attn.qkv.bias"][j * C:(j + 1) * C])
         set_((dst, "attn", "proj", "kernel"), sd[src + "attn.proj.weight"], True)
         set_((dst, "attn", "proj", "bias"), sd[src + "attn.proj.bias"])
         set_((dst, "mlp", "fc1", "kernel"), sd[src + "mlp.fc1.weight"], True)

@@ -66,24 +66,46 @@ class Attention(nn.Module):
     dtype: Any = jnp.bfloat16
     use_flash: bool = False
     remat_attn: bool = True
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
-                       kernel_init=torch_default_init,
-                       bias_init=torch_bias_init,
-                       dtype=self.dtype, param_dtype=jnp.float32,
-                       name="qkv")(x)
-        # split on the LAST axis (contiguous thirds of the fused projection,
-        # identical elements to reshape(B,N,3,H,hd)[:,:,i]) — the 5-d reshape
-        # forces XLA to materialize a layout copy of the whole qkv tensor per
-        # layer (bf16[B,N,3,H,hd] {1,4,3,2,0}->{1,4,3,0,2}, ~0.4 ms/step on
-        # the headline bench); contiguous slices + 4-d reshapes are bitcasts
-        q, k, v = (t.reshape(B, N, H, hd)
-                   for t in jnp.split(qkv, 3, axis=-1))  # [B,N,H,hd]
+        if self.split_qkv:
+            # tensor-parallel variant: three separate projections named
+            # q/k/v so the Megatron column sharding (parallel/mesh.py) can
+            # split each one head-aligned. Sharding the FUSED [C,3C] kernel
+            # instead makes GSPMD all-gather the whole qkv activation per
+            # layer to fix up the misaligned thirds (measured: 8x
+            # f32[B,257,C] all-gathers per 2-layer step on a (4,2) mesh) —
+            # so TP configs should set net_kwargs['split_qkv']=True. Math
+            # identical to the fused projection (x @ W[:, i*C:(i+1)*C]);
+            # single-chip default stays fused (one bigger MXU matmul).
+            # Head alignment: the model-axis size must divide num_heads,
+            # or the [B,N,C]->[B,N,H,hd] reshape re-introduces the gather.
+            dense = lambda name: nn.Dense(
+                C, use_bias=self.qkv_bias, kernel_init=torch_default_init,
+                bias_init=torch_bias_init, dtype=self.dtype,
+                param_dtype=jnp.float32, name=name)
+            q = dense("q")(x).reshape(B, N, H, hd)
+            k = dense("k")(x).reshape(B, N, H, hd)
+            v = dense("v")(x).reshape(B, N, H, hd)
+        else:
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                           kernel_init=torch_default_init,
+                           bias_init=torch_bias_init,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="qkv")(x)
+            # split on the LAST axis (contiguous thirds of the fused
+            # projection, identical elements to reshape(B,N,3,H,hd)[:,:,i])
+            # — the 5-d reshape forces XLA to materialize a layout copy of
+            # the whole qkv tensor per layer (bf16[B,N,3,H,hd]
+            # {1,4,3,2,0}->{1,4,3,0,2}, ~0.4 ms/step on the headline
+            # bench); contiguous slices + 4-d reshapes are bitcasts
+            q, k, v = (t.reshape(B, N, H, hd)
+                       for t in jnp.split(qkv, 3, axis=-1))  # [B,N,H,hd]
         if self.use_flash and not (train and self.attn_drop > 0):
             # Pallas flash attention (ops/attention.py), forward AND custom-
             # VJP backward — O(N*d) HBM traffic. Opt-in: at USB sequence
@@ -136,6 +158,7 @@ class Block(nn.Module):
     use_flash: bool = False
     remat_attn: bool = True
     remat_mlp: bool = False
+    split_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -153,6 +176,7 @@ class Block(nn.Module):
         h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype,
                       use_flash=self.use_flash, remat_attn=self.remat_attn,
+                      split_qkv=self.split_qkv,
                       name="attn")(
             ln("norm1")(x).astype(self.dtype), train)
         if self.init_values:
@@ -198,6 +222,8 @@ class VisionTransformer(nn.Module):
                              # at the headline geometry (64.3 vs 66.2 steps/s): the
                              # fc1+gelu recompute costs more than the 18.9 MB/layer
                              # residual saves; opt-in for memory-bound large configs
+    split_qkv: bool = False  # separate q/k/v projections for tensor parallelism
+                             # (head-aligned column sharding; see Attention docnote)
 
     @property
     def num_features(self) -> int:
@@ -246,6 +272,7 @@ class VisionTransformer(nn.Module):
                           use_flash=self.use_flash,
                           remat_attn=self.remat_attn,
                           remat_mlp=self.remat_mlp,
+                          split_qkv=self.split_qkv,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"

@@ -100,7 +100,7 @@ def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
                       extra_axis: Optional[str] = None):
     """Megatron-style tensor-parallel layout for the transformer backbones
     (ViT/BERT/HuBERT/wav2vec2 param trees): column-parallel projections
-    (attention qkv, MLP fc1) shard their OUTPUT dim over `axis`,
+    (attention q/k/v, MLP fc1) shard their OUTPUT dim over `axis`,
     row-parallel projections (attention proj/out, MLP fc2) shard their
     INPUT dim, biases of column-parallel layers shard with the output,
     everything else replicates. Under jit, XLA/GSPMD partitions the
@@ -109,10 +109,33 @@ def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
     collectives in model code).
 
     ``extra_axis``: optionally lay a second (fsdp) axis on the opposite
-    matrix dim of each sharded kernel for a combined tp x fsdp layout.
+    matrix dim of each sharded kernel for a combined tp x fsdp layout (only
+    where that dim is divisible by the fsdp axis size).
+
+    Module names are matched EXACTLY (not by suffix) so backbone blocks
+    shard but e.g. BERT's 'classifier_fc1'/'classifier_fc2' head and
+    HuBERT's 'fp_proj' feature projection replicate. The fused ViT 'qkv'
+    kernel is deliberately NOT column-sharded: its [C, 3C] output thirds
+    misalign with the shard boundaries, and GSPMD fixes that up by
+    all-gathering the whole qkv activation every layer (measured on a
+    (4,2) CPU mesh: 8x f32[B,257,C] all-gathers per 2-layer step). For
+    attention TP on ViT set ``net_kwargs['split_qkv']=True`` — the q/k/v
+    projections then shard head-aligned with no activation collectives.
     """
-    col_kernels = ("qkv", "fc1", "query", "key", "value", "intermediate")
-    row_kernels = ("proj", "fc2", "out", "output")
+    col_kernels = frozenset((
+        "fc1",                                 # ViT MLP up-proj
+        "q", "k", "v",                         # ViT split_qkv / HuBERT / w2v2
+        "query", "key", "value",               # BERT attention
+        "intermediate",                        # BERT MLP up-proj
+        "ff1",                                 # HuBERT / wav2vec2 MLP up-proj
+    ))
+    row_kernels = frozenset((
+        "proj",                                # ViT attention out-proj
+        "fc2",                                 # ViT MLP down-proj
+        "out",                                 # HuBERT / wav2vec2 attn out
+        "output",                              # BERT attn out + MLP down-proj
+        "ff2",                                 # HuBERT / wav2vec2 MLP down
+    ))
 
     def spec(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", str(p)))
@@ -120,21 +143,21 @@ def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
         leafname = names[-1] if names else ""
         parent = names[-2] if len(names) > 1 else ""
         ndim = getattr(leaf, "ndim", 0)
-        n_shard = mesh.shape[axis]
 
-        def ok(dim):
-            return ndim >= 1 and leaf.shape[dim] % n_shard == 0
+        def div(dim, ax):
+            return (ax is not None and ndim >= 1
+                    and leaf.shape[dim] % mesh.shape[ax] == 0)
 
-        if any(k == parent or parent.endswith(k) for k in col_kernels):
-            if leafname == "kernel" and ndim == 2 and ok(1):
-                parts = [extra_axis, axis]
-                return NamedSharding(mesh, P(*parts))
-            if leafname == "bias" and ndim == 1 and ok(0):
+        if parent in col_kernels:
+            if leafname == "kernel" and ndim == 2 and div(1, axis):
+                extra = extra_axis if div(0, extra_axis) else None
+                return NamedSharding(mesh, P(extra, axis))
+            if leafname == "bias" and ndim == 1 and div(0, axis):
                 return NamedSharding(mesh, P(axis))
-        if any(k == parent or parent.endswith(k) for k in row_kernels):
-            if leafname == "kernel" and ndim == 2 and ok(0):
-                parts = [axis, extra_axis]
-                return NamedSharding(mesh, P(*parts))
+        if parent in row_kernels:
+            if leafname == "kernel" and ndim == 2 and div(0, axis):
+                extra = extra_axis if div(1, extra_axis) else None
+                return NamedSharding(mesh, P(axis, extra))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -83,6 +83,42 @@ class TestViTImport:
         out_new = model.apply({"params": new}, x, train=False)["logits"]
         assert not np.allclose(np.asarray(out_init), np.asarray(out_new))
 
+    def test_graft_onto_split_qkv_tree(self, tmp_path):
+        """The tensor-parallel split_qkv=True tree imports the SAME fused
+        torch checkpoint: the [3C, C] qkv weight splits into contiguous
+        thirds, and the grafted model's forward matches the fused graft
+        exactly (x @ W[:, iC:(i+1)C] == (x @ W)[:, iC:(i+1)C])."""
+        import torch
+        from semireward_tpu.models.utils import load_vit_checkpoint
+
+        sd = _fake_timm_vit_sd(grid=16)
+        path = tmp_path / "vit.pth"
+        torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}},
+                   str(path))
+
+        fused = NETS.get("vit_tiny_patch2_32")(num_classes=10,
+                                               dtype=jnp.float32)
+        split = NETS.get("vit_tiny_patch2_32")(num_classes=10,
+                                               dtype=jnp.float32,
+                                               split_qkv=True)
+        x = jnp.ones((1, 32, 32, 3))
+        pf = load_vit_checkpoint(
+            fused.init(jax.random.PRNGKey(0), x, train=False)["params"],
+            str(path))
+        ps = load_vit_checkpoint(
+            split.init(jax.random.PRNGKey(0), x, train=False)["params"],
+            str(path))
+        C = pf["blocks0"]["attn"]["qkv"]["kernel"].shape[0]
+        for j, nm in enumerate(("q", "k", "v")):
+            np.testing.assert_allclose(
+                np.asarray(ps["blocks0"]["attn"][nm]["kernel"]),
+                np.asarray(pf["blocks0"]["attn"]["qkv"]["kernel"])[:, j * C:(j + 1) * C],
+                rtol=1e-6)
+        of = fused.apply({"params": pf}, x, train=False)["logits"]
+        os_ = split.apply({"params": ps}, x, train=False)["logits"]
+        np.testing.assert_allclose(np.asarray(os_), np.asarray(of),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestBertImport:
     def test_hf_state_dict_graft(self):
