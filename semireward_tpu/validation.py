@@ -26,20 +26,37 @@ import numpy as np
 GOLDEN_NET_KWARGS = {"depth": 10, "widen_factor": 2}  # tiny WRN, 128 feats
 
 
-def golden_config(algorithm: str, *, iters: int = 400, labels: int = 8,
-                  num_classes: int = 4, seed: int = 0, lambda_u: float = 1.0,
+def golden_config(algorithm: str, *, iters: int = 400, labels: int = None,
+                  num_classes: int = None, seed: int = 0,
+                  lambda_u: float = 1.0,
                   imb_algorithm: Optional[str] = None,
                   lb_imb_ratio: float = 1.0, ulb_imb_ratio: float = 1.0,
-                  save_dir: str = "/tmp/srt_golden", noise: int = 110,
+                  save_dir: str = "/tmp/srt_golden", noise: int = None,
+                  dataset: str = "synthetic_orbit",
                   **overrides):
     """The shared small-but-learnable synthetic setup. ``lambda_u=0`` turns
     any algorithm into its labeled-only baseline at the same label budget
-    (the honest SSL baseline — 'fullysupervised' would see ALL labels)."""
+    (the honest SSL baseline — 'fullysupervised' would see ALL labels).
+
+    Default task since round 3: ``synthetic_orbit`` (data/datasets.py:
+    make_synthetic_orbit) — labeled data covers only the small-angle end
+    of each class's rotation orbit, so the labeled-only ceiling is a
+    STRUCTURAL ~0.6 and SSL gains have headroom at every seed (VERDICT r2
+    item 1). The round-1/2 blob task remains reachable with
+    ``dataset='synthetic'`` (its labeled-only baseline saturates at ~0.9 —
+    kept for the bit-parity and mechanics tests that calibrated against
+    it)."""
     from semireward_tpu.config import get_config
 
+    if num_classes is None:
+        num_classes = 6 if dataset == "synthetic_orbit" else 4
+    if labels is None:
+        labels = 24 if dataset == "synthetic_orbit" else 8
+    if noise is None:
+        noise = 40 if dataset == "synthetic_orbit" else 110
     cfg_dict = dict(
         algorithm=algorithm, ulb_loss_ratio=lambda_u,
-        net="wrn_28_2", dataset="synthetic",
+        net="wrn_28_2", dataset=dataset,
         num_classes=num_classes, num_labels=labels,
         batch_size=8, uratio=4, eval_batch_size=64, img_size=32,
         num_train_iter=iters, num_eval_iter=iters,
@@ -87,11 +104,15 @@ def ssl_gain(algorithm: str, **kw) -> Dict[str, float]:
 # SemiReward under pseudo-label noise
 # ---------------------------------------------------------------------------
 
-def make_noisy_flexmatch(noise_frac: float):
-    """FlexMatch with a fraction of pseudo-labels deterministically corrupted
-    (shifted one class) AFTER generation — batch order is random per step, so
-    positional corruption is uniform corruption. The SR wrapper composes over
-    it unchanged, scoring the corrupted labels like any pseudo-label."""
+def make_noisy_flexmatch(noise_frac: float, classes=None, shift: int = 1):
+    """FlexMatch with pseudo-labels deterministically corrupted (shifted
+    ``shift`` classes) AFTER generation. ``classes=None``: a leading
+    ``noise_frac`` fraction of each batch is corrupted — batch order is
+    random per step, so positional corruption is uniform corruption.
+    ``classes=(...)``: ONLY pseudo-labels in that set are corrupted
+    (class-conditional noise — the filter the Rewarder architecture CAN
+    express; see rewarder_class_probe). The SR wrapper composes over it
+    unchanged, scoring the corrupted labels like any pseudo-label."""
     import jax.numpy as jnp
     from semireward_tpu.algorithms.flexmatch import FlexMatch
     from semireward_tpu.algorithms.semireward import (SemiRewardWrapper,
@@ -104,9 +125,12 @@ def make_noisy_flexmatch(noise_frac: float):
                             softmax=True, label_smoothing=0.0):
             pl = super().gen_ulb_targets(logits, use_hard_label, T, softmax,
                                          label_smoothing)
-            n_bad = int(round(pl.shape[0] * noise_frac))
-            bad = jnp.arange(pl.shape[0]) < n_bad
-            return jnp.where(bad, (pl + 1) % self.cfg.num_classes, pl)
+            if classes is not None:
+                bad = jnp.isin(pl, jnp.asarray(list(classes)))
+            else:
+                n_bad = int(round(pl.shape[0] * noise_frac))
+                bad = jnp.arange(pl.shape[0]) < n_bad
+            return jnp.where(bad, (pl + shift) % self.cfg.num_classes, pl)
 
     class SRNoisyFlexMatch(SemiRewardWrapper):
         NAME = "srflexmatch"
@@ -116,51 +140,113 @@ def make_noisy_flexmatch(noise_frac: float):
     return NoisyFlexMatch, SRNoisyFlexMatch
 
 
-def rewarder_separation(trainer, batch: int = 64, rounds: int = 8,
-                        noise_frac: float = 0.5) -> Dict[str, float]:
-    """Mechanism probe for the trained rewarder: in MIXED batches (like the
-    ones the in-step filter sees — the reward's batch-dim attention
-    normalizes per batch, so correct/corrupted pairs must be scored
-    together), corrupted (feature, label) pairs should be kept by the
-    ``reward >= mean(reward)`` filter less often than correct ones."""
+def _spearman(a, b) -> float:
+    """Spearman rank correlation (no scipy dependency)."""
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    den = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
+    return float((ra * rb).sum() / den) if den > 0 else 0.0
+
+
+def rewarder_class_probe(trainer, batch: int = 64, rounds: int = 16,
+                         noise_frac: float = 0.5, classes=None,
+                         shift: int = 1) -> Dict[str, Any]:
+    """CLASS-LEVEL mechanism probe for the trained rewarder (VERDICT r2
+    item 2 — replaces the per-sample `rewarder_separation`).
+
+    What the architecture can express (reference semireward.py:60-66,
+    reproduced at algorithms/semireward.py:119-126): the per-sample reward
+    is ``MLP(batch-shared context + label_embedding[label])`` — two
+    samples carrying the SAME pseudo-label in one batch get IDENTICAL
+    rewards regardless of their features. The ``reward >= mean`` filter is
+    therefore a per-LABEL selector within each batch, and the meaningful
+    probes are class-level:
+
+    - ``per_label_keep_rate`` / ``per_label_reward``: the filter's
+      aggregate treatment of each pseudo-label value, in mixed batches
+      like the in-step filter sees.
+    - ``per_label_pair_accuracy``: fraction of pairs carrying label c that
+      are actually correct (feature really of class c) under the probe's
+      corruption — the signal a per-label filter SHOULD track.
+    - ``spearman_reward_vs_accuracy``: rank correlation of the two across
+      label values. Positive = the rewarder ranks polluted labels below
+      clean ones (the strongest claim the architecture supports).
+    """
     import jax.numpy as jnp
-    import numpy as np
     from semireward_tpu.algorithms.semireward import score_pseudo_labels
     from semireward_tpu.data.augment import normalize
 
     cfg = trainer.cfg
+    C = cfg.num_classes
     ds = trainer.bundle.eval
     variables = {"params": trainer.state.params}
     if trainer.state.batch_stats:
         variables["batch_stats"] = trainer.state.batch_stats
     rs = np.random.RandomState(0)
-    kept_ok, kept_bad, r_ok, r_bad = [], [], [], []
+    kept = np.zeros(C)
+    rew_sum = np.zeros(C)
+    correct = np.zeros(C)
+    n = np.zeros(C)
     for _ in range(rounds):
         idx = rs.choice(len(ds), batch, replace=False)
         x = jnp.asarray(ds.data[idx], jnp.float32) / 255.0
         x = normalize(x, trainer.aug_spec.mean, trainer.aug_spec.std)
         feats = trainer.model.apply(variables, x, train=False)["feat"]
         y = np.asarray(ds.targets[idx], np.int64)
-        bad = rs.rand(batch) < noise_frac
-        labels = np.where(bad, (y + 1) % cfg.num_classes, y)
+        if classes is not None:
+            bad = np.isin(y, np.asarray(list(classes)))
+        else:
+            bad = rs.rand(batch) < noise_frac
+        labels = np.where(bad, (y + shift) % C, y)
         reward, keep = score_pseudo_labels(cfg, trainer.state.sr, feats,
                                            jnp.asarray(labels, jnp.int32))
         reward = np.asarray(reward).squeeze(-1)
         keep = np.asarray(keep)
-        kept_ok.append(keep[~bad].mean())
-        kept_bad.append(keep[bad].mean())
-        r_ok.append(reward[~bad].mean())
-        r_bad.append(reward[bad].mean())
-    return {"keep_rate_correct": float(np.mean(kept_ok)),
-            "keep_rate_corrupted": float(np.mean(kept_bad)),
-            "reward_correct": float(np.mean(r_ok)),
-            "reward_corrupted": float(np.mean(r_bad))}
+        for c in range(C):
+            sel = labels == c
+            if sel.any():
+                kept[c] += keep[sel].sum()
+                rew_sum[c] += reward[sel].sum()
+                correct[c] += (~bad[sel]).sum()
+                n[c] += sel.sum()
+    nz = np.maximum(n, 1)
+    keep_rate = kept / nz
+    mean_reward = rew_sum / nz
+    pair_acc = correct / nz
+    occ = n > 0  # rank correlations over OCCUPIED label values only
+    polluted = sorted({(c + shift) % C for c in classes}) if classes else None
+    out = {
+        "per_label_keep_rate": keep_rate.tolist(),
+        "per_label_reward": mean_reward.tolist(),
+        "per_label_pair_accuracy": pair_acc.tolist(),
+        "spearman_reward_vs_accuracy": _spearman(mean_reward[occ],
+                                                 pair_acc[occ]),
+        "spearman_keep_vs_accuracy": _spearman(keep_rate[occ], pair_acc[occ]),
+    }
+    out["per_label_count"] = n.tolist()
+    if polluted is not None:
+        # directional corruption empties the source labels — only OCCUPIED
+        # clean labels belong in the comparison
+        clean = [c for c in range(C) if c not in polluted and n[c] > 0]
+        out["polluted_labels"] = polluted
+        out["keep_rate_polluted_labels"] = float(keep_rate[polluted].mean())
+        out["keep_rate_clean_labels"] = float(keep_rate[clean].mean())
+    return out
 
 
 def sr_noise_experiment(noise_frac: float = 0.4, iters: int = 500,
                         start_timing: int = 120, seed: int = 0,
+                        classes=None, shift: int = 1,
                         **kw) -> Dict[str, Any]:
-    NoisyFlex, SRNoisyFlex = make_noisy_flexmatch(noise_frac)
+    """The SemiReward golden experiment: corrupt pseudo-labels (uniformly,
+    or class-conditionally with ``classes``), train the identical base
+    algorithm with and without SR filtering, and probe the trained
+    rewarder at class level."""
+    NoisyFlex, SRNoisyFlex = make_noisy_flexmatch(noise_frac, classes=classes,
+                                                  shift=shift)
     base = run_golden(
         "flexmatch", alg_factory=lambda c, d: NoisyFlex(c, d),
         iters=iters, seed=seed, **kw)
@@ -168,11 +254,14 @@ def sr_noise_experiment(noise_frac: float = 0.4, iters: int = 500,
         "srflexmatch", alg_factory=lambda c, d: SRNoisyFlex(c, d),
         iters=iters, seed=seed, start_timing=start_timing, N_k=10,
         return_trainer=True, **kw)
-    sep = rewarder_separation(sr["trainer"])
+    probe = rewarder_class_probe(sr["trainer"], noise_frac=noise_frac,
+                                 classes=classes, shift=shift)
     return {"noise_frac": noise_frac,
+            "corrupt_classes": list(classes) if classes else None,
+            "shift": shift,
             "noisy_flexmatch_acc": base["acc"],
             "sr_noisy_flexmatch_acc": sr["acc"],
-            "sr_gain": sr["acc"] - base["acc"], **sep}
+            "sr_gain": sr["acc"] - base["acc"], **probe}
 
 
 # ---------------------------------------------------------------------------
@@ -183,10 +272,16 @@ def imb_gain(imb_algorithm: str, base_algorithm: str = "fixmatch",
              gamma: float = 10.0, iters: int = 500, labels: int = 40,
              num_classes: int = 4, **kw) -> Dict[str, float]:
     """balanced_acc(imb_algorithm over base) - balanced_acc(base) on a
-    long-tailed synthetic split (both lb and ulb imbalanced by gamma)."""
+    long-tailed synthetic split (both lb and ulb imbalanced by gamma).
+
+    Runs on the round-1/2 blob task (``dataset='synthetic'``), whose
+    loader applies the reference's make_imbalance_data split — the orbit
+    task generates balanced coverage splits directly and measures a
+    different contract (SSL propagation, not class-rebalancing)."""
     # in the imbalanced setting lb/ulb_num_labels are MAX-class counts
     # (reference datasets/utils.py:140-153 make_imbalance_data)
     shared = dict(labels=labels, num_classes=num_classes, iters=iters,
+                  dataset=kw.pop("dataset", "synthetic"),
                   lb_imb_ratio=gamma, ulb_imb_ratio=gamma,
                   ulb_num_labels=int(kw.pop("ulb_num_labels", 400)), **kw)
     base = run_golden(base_algorithm, **shared)
