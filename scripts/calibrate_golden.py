@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Calibrate the golden benchmark (VERDICT r2 item 1): sweep the
-synthetic_path task and print per-(alg, seed, iters) accuracies as JSON
+synthetic_orbit task and print per-(alg, seed, iters) accuracies as JSON
 lines, so the golden-tier bounds are derived from measurements.
 
 Target operating point: labeled-only ~0.55-0.65, fixmatch-class gain
