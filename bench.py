@@ -68,7 +68,8 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
     return 3.0 * fwd_flops_per_image * images  # bwd ~= 2x fwd
 
 
-def build_trainer(mode: str, flat: bool = False):
+def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
+                  sr_ema: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -94,15 +95,24 @@ def build_trainer(mode: str, flat: bool = False):
             num_train_iter=204800, num_eval_iter=1 << 30,
             num_log_iter=1 << 30,
             start_timing=0,  # force stage 2 (reward filtering) immediately
-            N_k=10, feature_dim=384, sr_ema=False,
+            N_k=10, feature_dim=384, sr_ema=sr_ema,
             seed=0, save_name="bench", mesh_shape=(-1,)))
     cfg.extra["synthetic_train"] = 2048
     if flat:
         cfg.extra["flat_optimizer"] = True
+    if sr_reforward > 1:
+        # ref-equivalent mode: restore the reference's redundant device
+        # work (sr_decay() full backbone re-forwards per stage-2 step,
+        # srflexmatch.py:72-104) inside our own step — see
+        # algorithms/semireward.py with_reward
+        cfg.extra["sr_reforward"] = sr_reforward
     return cfg, Trainer(cfg)
 
 
-def measure_steps(trainer, cfg, n_steps=200):
+def measure_steps(trainer, cfg, n_steps=200, host_fetch=False):
+    """``host_fetch=True`` additionally blocks on 4 metric scalars every
+    step — the reference's per-step ``log_dict`` ``.item()`` syncs
+    (srflexmatch.py:213-216) — for the ref-equivalent measurement."""
     from semireward_tpu.data.loader import SSLLoader
 
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
@@ -116,6 +126,9 @@ def measure_steps(trainer, cfg, n_steps=200):
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
+        if host_fetch:
+            _ = (float(m["sup_loss"]), float(m["unsup_loss"]),
+                 float(m["total_loss"]), float(m["util_ratio"]))
     jax.block_until_ready(m["total_loss"])
     # the original trainer.state buffers were donated — keep the live ones
     trainer.state = state
@@ -173,6 +186,12 @@ def main():
                    default="headline")
     p.add_argument("--flat", action="store_true",
                    help="run the raveled-vector optimizer path")
+    p.add_argument("--skip-ref-equivalent", action="store_true",
+                   help="skip the measured ref-equivalent baseline run "
+                        "(headline mode measures it by default)")
+    p.add_argument("--sr-ema", action="store_true",
+                   help="bench the EMARewarder scoring-path variant "
+                        "(sr_ema=True, as some reference YAMLs configure)")
     args = p.parse_args()
 
     import os
@@ -225,14 +244,45 @@ def main():
         fwd_s = measure_vit_fwd(trainer, cfg.ulb_batch_size)
         our_step_s = 1.0 / sps_chip
         ref_step_s = our_step_s + 8 * fwd_s
-        # ratio our_steps_per_sec / estimated_ref_steps_per_sec (>1 = faster)
-        vs_baseline = round(ref_step_s / our_step_s, 3)
+        vs_arith = round(ref_step_s / our_step_s, 3)
         extras["ref_step_estimate_ms"] = round(ref_step_s * 1e3, 2)
         extras["vit_fwd_ms"] = round(fwd_s * 1e3, 3)
-        extras["vs_baseline_note"] = (
-            "same-chip algorithmic estimate: ref = our step + 8 re-forwards"
-            " (BASELINE.md); excludes ref's per-step host syncs -> lower"
-            " bound on the true ratio")
+        extras["vs_baseline_arithmetic"] = vs_arith
+        vs_baseline = vs_arith
+
+        if not args.skip_ref_equivalent:
+            # MEASURED baseline (VERDICT r2 item 4): run OUR OWN step with
+            # the reference's redundant device work restored — sr_decay()=8
+            # full backbone re-forwards per stage-2 step (the deviation is
+            # loss-equivalent, so this is a config flag) and the per-step
+            # host metric fetches at the reference's log cadence. The ratio
+            # of executed steps is the measured speedup.
+            del trainer  # free the chip before the second program
+            cfg_r, trainer_r = build_trainer("headline", sr_reforward=8)
+            ref_sps = measure_steps(trainer_r, cfg_r, n_steps=100,
+                                    host_fetch=True) / n_chips
+            del trainer_r
+            vs_measured = round(sps_chip / ref_sps, 3)
+            extras["ref_equivalent_steps_per_sec"] = round(ref_sps, 3)
+            extras["vs_baseline_measured"] = vs_measured
+            vs_baseline = vs_measured
+            extras["vs_baseline_note"] = (
+                "MEASURED on-chip: this framework's step vs the same step "
+                "with the reference's redundant work executed (8 backbone "
+                "re-forwards/step, srflexmatch.py:72-104, + 4 per-step "
+                "host metric syncs); vs_baseline_arithmetic is the round-2 "
+                "estimate kept for comparability")
+        else:
+            extras["vs_baseline_note"] = (
+                "same-chip algorithmic estimate: ref = our step + 8 "
+                "re-forwards (BASELINE.md); excludes ref's per-step host "
+                "syncs -> lower bound on the true ratio")
+
+        if args.sr_ema:
+            cfg_e, trainer_e = build_trainer("headline", sr_ema=True)
+            extras["sr_ema_steps_per_sec"] = round(
+                measure_steps(trainer_e, cfg_e) / n_chips, 3)
+            del trainer_e
 
     metric = ("SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)"
               if args.mode == "headline" else

@@ -259,8 +259,54 @@ class SemiRewardWrapper(Algorithm):
 
         def with_reward(operand):
             algo_state, unsup0 = operand
-            # replicate the sr_decay()-iteration masking-state side effect
-            if self._remask_is_stateful():
+            n_ref = int(cfg.extra.get("sr_reforward", 1))
+            logits_s, feats_w = fwd.logits_x_ulb_s, fwd.feats_x_ulb_w
+            if n_ref > 1:
+                # --- ref-equivalent mode (bench.py --ref-equivalent) ---
+                # Execute the reference data_generator's FULL redundant
+                # device work (srflexmatch.py:72-104): n_ref backbone
+                # re-forwards on the whole batch, each with its own masking
+                # -hook call and rewarder scoring, keeping only the LAST
+                # iteration's outputs for the loss. n_ref-1 iterations run
+                # primal-only under stop_gradient (the reference backprops
+                # only through the last graph); the final re-forward runs
+                # outside the loop and IS differentiated. The loop body
+                # multiplies x by (1 + i*1e-45) — numerically exact, but
+                # induction-variable-dependent so while-loop invariant code
+                # motion cannot hoist the forwards; the final forward's
+                # input carries a ~1e-45 data dependency on the loop result
+                # so dead-code elimination cannot drop it.
+                b = ctx.batch
+
+                def refwd(x_s):
+                    return C.ssl_forward(
+                        ctx.apply_fn, ctx.params, ctx.batch_stats,
+                        b["x_lb"], b["x_ulb_w"], x_s, ctx.rng,
+                        train=True, use_cat=cfg.use_cat, stop_grad_w=True)
+
+                def body(i, carry):
+                    st, _mask, _eps = carry
+                    scale = 1.0 + i.astype(jnp.float32) * 1e-45
+                    f_i = refwd(b["x_ulb_s"] * scale)
+                    probs_i = C.compute_prob(f_i.logits_x_ulb_w)
+                    st, mask_i = self._remask(st, probs_i, idx_ulb)
+                    r_i = self.rewarder.apply({"params": sr.rewarder_params},
+                                              f_i.feats_x_ulb_w, pl_int)
+                    eps = (r_i.mean()
+                           + f_i.logits_x_ulb_s.mean()).astype(jnp.float32)
+                    return (st, mask_i, eps)
+
+                st0, m0 = self._remask(algo_state, probs_w, idx_ulb)
+                algo_state, mask_dg, eps = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient,
+                    jax.lax.fori_loop(0, n_ref - 1, body,
+                                      (st0, m0, jnp.float32(0.0))))
+                f_last = refwd(b["x_ulb_s"] + eps * 1e-45)
+                logits_s, feats_w = f_last.logits_x_ulb_s, f_last.feats_x_ulb_w
+            elif self._remask_is_stateful():
+                # replicate the sr_decay()-iteration masking-state side
+                # effect alone (the loss-equivalent fast path — see module
+                # docstring)
                 n = sr_decay(ctx.step, cfg.num_train_iter, cfg.sr_max_sampling)
 
                 def body(_, carry):
@@ -273,12 +319,12 @@ class SemiRewardWrapper(Algorithm):
                 algo_state, mask_dg = self._remask(algo_state, probs_w, idx_ulb)
             reward = self.rewarder.apply(
                 {"params": jax.lax.stop_gradient(sr.rewarder_params)},
-                jax.lax.stop_gradient(fwd.feats_x_ulb_w), pl_int)
+                jax.lax.stop_gradient(feats_w), pl_int)
             mask2 = (reward >= reward.mean()).squeeze(-1).astype(jnp.float32)
             # strong-view logits; pseudolabel variant has no strong view and
             # reuses its ulb logits (fwd.logits_x_ulb_s aliases them there)
             lname = "l1" if (self.base.NAME == "pseudolabel" and cfg.is_regression) else "ce"
-            unsup = consistency_loss(fwd.logits_x_ulb_s, pl, lname,
+            unsup = consistency_loss(logits_s, pl, lname,
                                      mask=mask_dg, mask2=mask2)
             return unsup, algo_state, mask2.mean()
 

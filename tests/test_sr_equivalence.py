@@ -124,3 +124,42 @@ def test_all_sr_variants_match_base_before_start_timing(base):
     for a, b_ in zip(jax.tree_util.tree_leaves(s_base.params),
                      jax.tree_util.tree_leaves(s_sr.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_ref_equivalent_reforward_is_loss_equivalent():
+    """bench.py --ref-equivalent restores the reference data_generator's
+    redundant device work (sr_reforward=8 backbone re-forwards per stage-2
+    step, srflexmatch.py:72-104). The deviation claim is that this work is
+    LOSS-equivalent: with a deterministic forward the re-forward logits
+    equal the main forward's, so the trained state trajectory must match
+    the fast path's step for step."""
+    rs = np.random.RandomState(0)
+    bs = batches(rs, 3)
+    # start_timing=0 puts both variants in stage 2 (reward filtering ON)
+    _, s_fast, step_fast = build("srflexmatch", start_timing=0)
+    cfg_r, s_ref, _ = build("srflexmatch", start_timing=0)
+    cfg_r.extra["sr_reforward"] = 8
+    model = NETS.get("wrn_28_2")(num_classes=cfg_r.num_classes,
+                                 dtype=jnp.float32)
+    a = ALGORITHMS.get("srflexmatch")(cfg_r, {"ulb_dest_len": 32})
+    from semireward_tpu.core.step import init_train_state as _init
+    s_ref, tx = _init(cfg_r, a, model, jax.random.PRNGKey(0),
+                      jnp.zeros((2, 32, 32, 3)))
+    step_ref = jax.jit(make_train_step(cfg_r, a, model, tx))
+    for b in bs:
+        s_fast, m_fast = step_fast(s_fast, b)
+        s_ref, m_ref = step_ref(s_ref, b)
+    np.testing.assert_allclose(float(m_ref["total_loss"]),
+                               float(m_fast["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_ref["util_ratio"]),
+                               float(m_fast["util_ratio"]), rtol=1e-6)
+    # param drift stays at float-reassociation level (the re-forward program
+    # fuses differently; 3 steps of SGD amplify last-ulp differences)
+    for x, y in zip(jax.tree_util.tree_leaves(s_fast.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(s_fast.algo),
+                    jax.tree_util.tree_leaves(s_ref.algo)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
