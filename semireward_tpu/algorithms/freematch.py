@@ -46,4 +46,9 @@ class FreeMatch(Algorithm):
         return self.pack(sup_loss=sup_loss, unsup_loss=unsup_loss, fwd=fwd,
                          new_algo_state=new_state, extra_loss=extra, mask=mask,
                          pseudo_label=pseudo_label,
-                         metrics={"ent_loss": ent_loss})
+                         metrics={"ent_loss": ent_loss,
+                                  # SAT observability (audit: a collapse is
+                                  # time_p falling below the confidence
+                                  # distribution -> util_ratio -> 1.0)
+                                  "time_p": new_state.time_p,
+                                  "max_prob_mean": probs_w.max(-1).mean()})
