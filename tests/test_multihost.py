@@ -49,6 +49,34 @@ def f(x):
 total = jax.jit(f)(x)
 # strided reassembly must see every global row exactly once: 2*sum(0..7)=56
 assert float(total) == 56.0, float(total)
+
+# --- rank-0-only checkpoint I/O under the global mesh (VERDICT r2 #8) ---
+# trainer.py gates save_checkpoint on rank 0 (core/trainer.py:453-458);
+# reproduce that exact pattern on a REPLICATED state pytree living on the
+# 4-device global mesh (replicated arrays are fully addressable on every
+# process, so the numpy-ify inside save_checkpoint must work from rank 0).
+from semireward_tpu.core.checkpoint import save_checkpoint
+
+rep = NamedSharding(mesh, P())
+state = {"params": jax.device_put(jnp.arange(6.0).reshape(2, 3), rep),
+         "step": jax.device_put(jnp.int32(7), rep)}
+path = r"%CKPT%"
+if rank == 0:
+    save_checkpoint(path, state, extra={"it": 7})
+# barrier so rank 1 only reads after rank 0's atomic rename: a collective
+# both processes must enter
+jax.block_until_ready(jax.jit(f)(x))
+import time
+for _ in range(100):
+    if os.path.exists(path):
+        break
+    time.sleep(0.1)
+with open(path, "rb") as fh:
+    import pickle
+    payload = pickle.load(fh)
+np.testing.assert_array_equal(payload["state"]["params"],
+                              np.arange(6.0).reshape(2, 3))
+assert payload["extra"]["it"] == 7
 print(f"proc {proc_id} OK total={float(total)}")
 """
 
@@ -62,7 +90,8 @@ def test_two_process_distributed_smoke(tmp_path):
         port = s.getsockname()[1]
 
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER.replace("%PORT%", str(port)))
+    script.write_text(_WORKER.replace("%PORT%", str(port))
+                      .replace("%CKPT%", str(tmp_path / "latest.ckpt")))
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
