@@ -105,6 +105,8 @@ class Trainer:
             net_kw["remat"] = True
         if cfg.extra.get("use_flash_attention"):
             net_kw["use_flash"] = True
+        if cfg.extra.get("use_fused_mlp"):
+            net_kw["use_fused_mlp"] = True
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))
         self.model = builder(num_classes=cfg.num_classes,

@@ -36,14 +36,39 @@ def _drop_path(x, rate: float, deterministic: bool, rng):
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class _DenseParams(nn.Module):
+    """Registers kernel/bias with nn.Dense's exact names, shapes, inits and
+    RNG-fold paths (flax folds the init key by param path, so values are
+    bit-identical to the Dense they stand in for) — used by the fused-MLP
+    path, which needs the raw weights for the pallas kernel."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_default_init,
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init, (self.features,), jnp.float32)
+        return k, b
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
     dtype: Any = jnp.bfloat16
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.use_fused and not (train and self.drop > 0):
+            # ONE pallas launch keeps the [rows, hidden] activation in VMEM
+            # (ops/fused_mlp.py); param tree identical to the Dense path
+            from semireward_tpu.ops.fused_mlp import fused_mlp
+            w1, b1 = _DenseParams(x.shape[-1], self.hidden, name="fc1")()
+            w2, b2 = _DenseParams(self.hidden, self.out, name="fc2")()
+            return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
         dense = lambda f, name: nn.Dense(
             f, kernel_init=torch_default_init, bias_init=torch_bias_init,
             dtype=self.dtype, param_dtype=jnp.float32, name=name)
@@ -159,6 +184,7 @@ class Block(nn.Module):
     remat_attn: bool = True
     remat_mlp: bool = False
     split_qkv: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -186,7 +212,8 @@ class Block(nn.Module):
         rng = self.make_rng("dropout") if (train and self.drop_path > 0) else None
         x = x + _drop_path(h.astype(x.dtype), self.drop_path, not train, rng)
         h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                    dtype=self.dtype, name="mlp")(
+                    dtype=self.dtype, use_fused=self.use_fused_mlp,
+                    name="mlp")(
             ln("norm2")(x).astype(self.dtype), train)
         if self.init_values:
             gamma2 = self.param("ls2", nn.initializers.constant(self.init_values),
@@ -224,6 +251,9 @@ class VisionTransformer(nn.Module):
                              # residual saves; opt-in for memory-bound large configs
     split_qkv: bool = False  # separate q/k/v projections for tensor parallelism
                              # (head-aligned column sharding; see Attention docnote)
+    use_fused_mlp: bool = False  # single-launch pallas MLP keeping the 4C hidden
+                                 # in VMEM (ops/fused_mlp.py); slightly different
+                                 # (more precise) gelu numerics -> opt-in
 
     @property
     def num_features(self) -> int:
@@ -273,6 +303,7 @@ class VisionTransformer(nn.Module):
                           remat_attn=self.remat_attn,
                           remat_mlp=self.remat_mlp,
                           split_qkv=self.split_qkv,
+                          use_fused_mlp=self.use_fused_mlp,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"

@@ -1,0 +1,229 @@
+"""Pallas fused transformer MLP (fc1 + exact-gelu + fc2) for TPU.
+
+Motivation (NOTES_DEV round-2 trace work): at the headline geometry the
+two hottest per-layer fusion patterns are both bound on re-reading the
+[B*N, 4C] MLP hidden from HBM (~18.9 MB/layer each way). XLA materializes
+the hidden twice (fc1-out write + fc2 read in the forward; again for dW2
+and the dgelu chain in the backward). This kernel keeps the hidden in
+VMEM for the whole block: ONE pallas launch per direction, grid over row
+blocks, full fc1/fc2 weights resident.
+
+Forward:  out = gelu(x @ W1 + b1) @ W2 + b2          (hidden never in HBM)
+Backward: recomputes the pre-activation blockwise and accumulates
+          dW1/dW2/db1/db2 across sequential grid steps in VMEM.
+
+Numerics: matmuls run on the MXU in bf16 with f32 accumulation; gelu and
+bias adds in f32 (the XLA path computes gelu in bf16, so this path is NOT
+bit-identical — it is slightly MORE precise; opt-in via the model's
+``use_fused_mlp`` and covered by a closeness test, like ``use_flash``).
+
+Reference cost center: semilearn/nets/vit/vit.py:110-120 (timm Mlp);
+this file exists for the perf contract (SURVEY §7), not API parity.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas import is TPU/GPU-gated (same pattern as ops/attention.py)
+    from jax.experimental import pallas as pl
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_SQRT_2 = 1.4142135623730951
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu(u):
+    """Exact (erf) gelu, f32."""
+    return 0.5 * u * (1.0 + jax.lax.erf(u / _SQRT_2))
+
+
+def _dgelu(u):
+    """d/du of exact gelu."""
+    cdf = 0.5 * (1.0 + jax.lax.erf(u / _SQRT_2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * u * u)
+    return cdf + u * pdf
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]                                        # [bm, C] bf16
+    u = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b1_ref[...].astype(jnp.float32)               # [bm, H] f32
+    h = _gelu(u).astype(x.dtype)
+    o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _fwd(x, w1, b1, w2, b2, *, block_m, interpret):
+    m, c = x.shape
+    h = w1.shape[1]
+    grid = (pl.cdiv(m, block_m),)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((h, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, *, m):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]                                        # [bm, C] bf16
+    g = g_ref[...]                                        # [bm, C] bf16
+    # a partial final block reads padded VMEM garbage — zero those rows so
+    # they cannot poison the dW/db accumulators (0 * NaN = NaN otherwise)
+    bm = x.shape[0]
+    rid = pl.program_id(0) * bm + jax.lax.broadcasted_iota(
+        jnp.int32, (bm, 1), 0)
+    valid = rid < m
+    x = jnp.where(valid, x, jnp.zeros_like(x))
+    g = jnp.where(valid, g, jnp.zeros_like(g))
+    w1 = w1_ref[...]                                      # [C, H] bf16
+    w2 = w2_ref[...]                                      # [H, C] bf16
+
+    # recompute the pre-activation for this block (cheaper than an HBM
+    # round-trip of the hidden — the whole point of the fusion)
+    u = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b1_ref[...].astype(jnp.float32)               # [bm, H] f32
+    h = _gelu(u).astype(x.dtype)                          # [bm, H] bf16
+
+    # dh = (g @ W2^T) * gelu'(u)
+    dh = jax.lax.dot_general(g, w2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = dh * _dgelu(u)                                   # [bm, H] f32
+    dh_lp = dh.astype(x.dtype)
+
+    dx_ref[...] = jax.lax.dot_general(
+        dh_lp, w1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dh_lp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [C, H]
+    dw2_ref[...] += jax.lax.dot_general(
+        h, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, C]
+    db1_ref[...] += dh.sum(axis=0, keepdims=True)
+    db2_ref[...] += g.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+
+def _bwd(x, w1, b1, w2, g, *, block_m, interpret):
+    m, c = x.shape
+    h = w1.shape[1]
+    grid = (pl.cdiv(m, block_m),)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, m=m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((h, c), lambda i: (0, 0)),
+            pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, h), lambda i: (0, 0)),
+            pl.BlockSpec((h, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, c), x.dtype),        # dx
+            jax.ShapeDtypeStruct((c, h), jnp.float32),    # dW1
+            jax.ShapeDtypeStruct((h, c), jnp.float32),    # dW2
+            jax.ShapeDtypeStruct((1, h), jnp.float32),    # db1
+            jax.ShapeDtypeStruct((1, c), jnp.float32),    # db2
+        ],
+        interpret=interpret,
+    )(x, w1, b1, w2, g)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_mlp(x2d, w1, b1, w2, b2, block_m, interpret):
+    return _fwd(x2d, w1, b1, w2, b2, block_m=block_m, interpret=interpret)
+
+
+def _fused_mlp_fwd(x2d, w1, b1, w2, b2, block_m, interpret):
+    out = _fwd(x2d, w1, b1, w2, b2, block_m=block_m, interpret=interpret)
+    return out, (x2d, w1, b1, w2)
+
+
+def _fused_mlp_bwd(block_m, interpret, res, g):
+    x2d, w1, b1, w2 = res
+    dx, dw1, dw2, db1, db2 = _bwd(x2d, w1, b1, w2,
+                                  g.astype(x2d.dtype),
+                                  block_m=block_m, interpret=interpret)
+    # cotangent dtypes must match the primals: weights arrive as bf16
+    # (cast by the caller, like flax Dense's dtype= cast — the f32 master
+    # params get their grad through the outer astype's chain rule, same
+    # as the XLA path), biases arrive f32.
+    return dx, dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
+              interpret: Optional[bool] = None):
+    """gelu-MLP with the hidden kept in VMEM. ``x``: [..., C] (leading dims
+    flattened to rows); weights as stored by flax Dense (f32 params are
+    cast to the activation dtype for the MXU, like ``nn.Dense(dtype=...)``
+    does). On non-TPU backends the kernel runs in interpret mode (slow —
+    for tests)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    dt = x.dtype
+    x2d = x.reshape(-1, c)
+    out = _fused_mlp(x2d, w1.astype(dt), b1.astype(jnp.float32).reshape(1, -1),
+                     w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1),
+                     block_m, interpret)
+    return out.reshape(*lead, -1)
+
+
+def fused_mlp_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

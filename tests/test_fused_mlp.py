@@ -1,0 +1,87 @@
+"""Pallas fused MLP (ops/fused_mlp.py): forward and custom-VJP backward vs
+the two-Dense XLA path, in interpret mode, including a partial final row
+block. Closeness (not bit-parity): the fused kernel computes gelu in f32
+while the XLA path computes it in bf16 — documented in the module."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semireward_tpu.ops.fused_mlp import fused_mlp
+
+pytestmark = pytest.mark.quick
+
+M, C, H = 40, 128, 256  # block_m=16 -> 3 blocks, last one partial
+
+
+@pytest.fixture
+def weights():
+    rs = np.random.RandomState(0)
+    return (jnp.asarray(rs.randn(M, C), jnp.bfloat16),
+            jnp.asarray(rs.randn(C, H) * 0.05, jnp.float32),
+            jnp.asarray(rs.randn(H) * 0.1, jnp.float32),
+            jnp.asarray(rs.randn(H, C) * 0.05, jnp.float32),
+            jnp.asarray(rs.randn(C) * 0.1, jnp.float32))
+
+
+def _ref(x, w1, b1, w2, b2):
+    dt = x.dtype
+    h = x @ w1.astype(dt) + b1.astype(dt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    return (h @ w2.astype(dt) + b2.astype(dt)).astype(jnp.float32)
+
+
+def _fused(x, w1, b1, w2, b2):
+    return fused_mlp(x, w1, b1, w2, b2, block_m=16,
+                     interpret=True).astype(jnp.float32)
+
+
+def test_forward_matches(weights):
+    x, w1, b1, w2, b2 = weights
+    o_ref = _ref(x, w1, b1, w2, b2)
+    o_f = _fused(x, w1, b1, w2, b2)
+    scale = float(jnp.max(jnp.abs(o_ref)))
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               atol=0.02 * scale)
+
+
+def test_gradients_match(weights):
+    x, w1, b1, w2, b2 = weights
+    coef = jnp.arange(C, dtype=jnp.float32)
+
+    g_ref = jax.grad(lambda a: (_ref(x, *a) * coef).sum())((w1, b1, w2, b2))
+    g_f = jax.grad(lambda a: (_fused(x, *a) * coef).sum())((w1, b1, w2, b2))
+    for a, b in zip(g_ref, g_f):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.03 * scale)
+
+    gx_ref = jax.grad(
+        lambda x32: (_ref(x32.astype(jnp.bfloat16), w1, b1, w2, b2)
+                     * coef).sum())(x.astype(jnp.float32))
+    gx_f = jax.grad(
+        lambda x32: (_fused(x32.astype(jnp.bfloat16), w1, b1, w2, b2)
+                     * coef).sum())(x.astype(jnp.float32))
+    scale = float(jnp.max(jnp.abs(gx_ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_ref),
+                               atol=0.03 * scale)
+
+
+def test_vit_param_tree_identical():
+    """The fused-MLP ViT must expose the exact same param pytree (paths,
+    shapes, dtypes AND init values) as the Dense path — checkpoints and
+    pretrained imports are interchangeable."""
+    from semireward_tpu.models.vit import VisionTransformer
+
+    kw = dict(num_classes=3, img_size=32, patch_size=16, embed_dim=64,
+              depth=1, num_heads=4)
+    x = jnp.zeros((2, 32, 32, 3))
+    v0 = VisionTransformer(**kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    v1 = VisionTransformer(use_fused_mlp=True, **kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    f0 = jax.tree_util.tree_flatten_with_path(v0["params"])[0]
+    f1 = jax.tree_util.tree_flatten_with_path(v1["params"])[0]
+    assert [p for p, _ in f0] == [p for p, _ in f1]
+    for (_, a), (_, b) in zip(f0, f1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
