@@ -69,7 +69,7 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
 
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
-                  sr_ema: bool = False):
+                  sr_ema: bool = False, fused: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -100,6 +100,10 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     cfg.extra["synthetic_train"] = 2048
     if flat:
         cfg.extra["flat_optimizer"] = True
+    if fused:
+        # single-launch pallas MLP (ops/fused_mlp.py) — A/B for the
+        # fc2-bound fusion pair identified in the round-2 trace work
+        cfg.extra["use_fused_mlp"] = True
     if sr_reforward > 1:
         # ref-equivalent mode: restore the reference's redundant device
         # work (sr_decay() full backbone re-forwards per stage-2 step,
@@ -192,6 +196,9 @@ def main():
     p.add_argument("--sr-ema", action="store_true",
                    help="bench the EMARewarder scoring-path variant "
                         "(sr_ema=True, as some reference YAMLs configure)")
+    p.add_argument("--fused", action="store_true",
+                   help="use the pallas fused MLP (ops/fused_mlp.py) in "
+                        "the backbone")
     args = p.parse_args()
 
     import os
@@ -205,7 +212,8 @@ def main():
 
     import semireward_tpu  # noqa: F401
 
-    cfg, trainer = build_trainer(args.mode, flat=args.flat)
+    cfg, trainer = build_trainer(args.mode, flat=args.flat,
+                                 fused=args.fused)
     steps_per_sec = measure_steps(trainer, cfg)
     n_chips = jax.device_count()
     sps_chip = steps_per_sec / n_chips
@@ -232,6 +240,7 @@ def main():
         "model_flops_per_step": flops_step,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "device": str(jax.devices()[0]),
+        "fused_mlp": bool(args.fused),
     }
 
     vs_baseline = None

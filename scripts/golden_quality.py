@@ -72,7 +72,7 @@ def main():
             json.dump(report, f, indent=1, default=float)
         print(f"updated {out_path}")
         if not args.seed:  # seed runs never touch docs/quality.md
-            _write_md(report)
+            _write_md(report, args.round)
         return
 
     report = {"iters": args.iters, "seed": args.seed}
@@ -135,7 +135,7 @@ def main():
     print(f"wrote {out_path}")
 
     if not args.seed:
-        _write_md(report)
+        _write_md(report, args.round)
 
 
 def _run_extra(report, sup, args, run_golden):
@@ -152,13 +152,16 @@ def _run_extra(report, sup, args, run_golden):
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
 
 
-def _seed_section(report):
-    """Cross-seed robustness table over all QUALITY_r*_seed*.json siblings
-    (the reference reports its own tables as mean±std over 3 seeds)."""
+def _seed_section(report, rnd):
+    """Cross-seed robustness table over THIS round's QUALITY seed-file
+    siblings (the reference reports its own tables as mean±std over 3
+    seeds). Round-scoped on purpose: earlier rounds ran a different
+    benchmark task, so their seed files are not comparable columns."""
     import glob
     import statistics
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    sibs = sorted(glob.glob(_os.path.join(root, "QUALITY_r*_seed*.json")))
+    sibs = sorted(glob.glob(
+        _os.path.join(root, f"QUALITY_r{rnd:02d}_seed*.json")))
     sibs = [s for s in sibs if "probe" not in s]
     if not sibs:
         return []
@@ -217,6 +220,13 @@ def _seed_section(report):
                         + ", ".join(
                             f"{r['semireward_noise']['sr_noisy_flexmatch_acc'] - r['semireward_noise']['control_downweighted_acc']:+.3f}"
                             f" @s{r.get('seed', '?')}" for r in ctrls) + ".")
+    ccs = [r for r in reports if "semireward_class_noise" in r]
+    if ccs:
+        summary += (" Class-conditional noise (the per-label filter test, "
+                    "see DEVIATIONS.md 15c): gain "
+                    + ", ".join(
+                        f"{r['semireward_class_noise'].get('sr_gain', float('nan')):+.3f}"
+                        f" @s{r.get('seed', '?')}" for r in ccs) + ".")
     if summary:
         lines += ["", summary]
     return lines
@@ -287,14 +297,24 @@ def _sr_section(report):
             f"{cc.get('spearman_reward_vs_accuracy', float('nan')):+.3f}",
             "",
             "Here only K of C pseudo-label values carry corrupted pairs — "
-            "a per-label filter can and should suppress exactly those "
-            "labels. The keep-rate split above is the direct test of the "
-            "mechanism.",
+            "a per-label filter could suppress exactly those labels. The "
+            "keep-rate split above is the direct test, and the filter "
+            "FAILS it: kept labels do not track per-label pair accuracy. "
+            "That is the faithful consequence of the reference's training "
+            "signal (DEVIATIONS.md 15c): in both stages the rewarder only "
+            "ever trains on (features, FROZEN-generator-label) pairs "
+            "(srflexmatch.py:157-209; the generator's gradients are "
+            "blocked forever by the .long() cast), so the label "
+            "embeddings it must rank at filter time — the real "
+            "pseudo-labels — are never visited by training, and its "
+            "ranking over them is incidental. The architecture could "
+            "express a per-label filter; the training signal cannot "
+            "learn one.",
         ]
     return lines
 
 
-def _write_md(report):
+def _write_md(report, rnd):
     lines = [
         "# Golden-learning quality report",
         "",
@@ -327,23 +347,14 @@ def _write_md(report):
                 lines.append(f"| {alg} | {r['ssl_acc']:.4f} | "
                              f"{r['gain_vs_labeled_only']:+.4f} |")
         lines += ["",
-                  "Short-horizon caveat: every family above runs a finite "
-                  "jitted step and trains its auxiliary machinery, but the "
-                  "contrastive/queue methods (comatch, simmatch), the "
-                  "rotation-task method (crmatch — rotation prediction is "
-                  "pure noise on rotation-invariant synthetic blobs), vat's "
-                  "adversarial perturbation, and defixmatch's negative "
-                  "branch need horizons and data far beyond 300 synthetic "
-                  "iters to pay off — the reference's published numbers for "
-                  "them come from 2^20-iteration CIFAR runs. The table is "
-                  "evidence of end-to-end training mechanics, not of "
-                  "relative algorithm quality at this horizon. crmatch "
-                  "(the largest gap) was re-audited line-by-line against "
-                  "reference crmatch.py:268-271 — the Ld term really does "
-                  "push the strong/weak ds-heads APART (cosine target=-1, "
-                  "same mask), and an ablation with rot_loss_ratio=0 "
-                  "(0.678) confirms Ld, faithful to the reference, is what "
-                  "costs accuracy on this short easy task."]
+                  "Caveat: the table is evidence that every family trains "
+                  "end-to-end AND extracts signal from unlabeled data on "
+                  "this benchmark — not a ranking. Relative ordering at "
+                  "1000 synthetic iters does not predict the reference's "
+                  "2^20-iteration CIFAR ordering (e.g. crmatch's rotation "
+                  "head, pure noise on the old rotation-invariant blob "
+                  "task, is perfectly aligned with the orbit task's "
+                  "rotation structure and now tops the table)."]
     if report["thresholding_families"].get("adamatch", {}).get(
             "gain_vs_labeled_only", 0) < 0:
         lines += ["", "adamatch trails the baseline at this horizon: its "
@@ -360,7 +371,7 @@ def _write_md(report):
             lines.append(
                 f"| {m} over {r['base']} | {r['base_balanced_acc']:.4f} | "
                 f"{r['imb_balanced_acc']:.4f} | {r['gain']:+.4f} |")
-    lines += _seed_section(report)
+    lines += _seed_section(report, rnd)
     os_path = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), "docs", "quality.md")
     with open(os_path, "w") as f:
