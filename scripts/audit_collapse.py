@@ -46,6 +46,10 @@ def main():
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--algs", default="freematch,defixmatch")
+    p.add_argument("--task", choices=["r2", "orbit"], default="r2",
+                   help="r2 = the round-2 golden task the collapses were "
+                        "observed on; orbit = the round-3 benchmark "
+                        "(freematch's seed-2 dip)")
     args = p.parse_args()
 
     try:
@@ -60,15 +64,18 @@ def main():
 
     from semireward_tpu.validation import run_golden
 
-    report = {"seed": args.seed, "iters": args.iters, "task": "round-2 golden"
-              " (synthetic 4-class, noise 110, 8 labels)"}
+    task_kw = (dict(dataset="synthetic", num_classes=4, labels=8, noise=110)
+               if args.task == "r2" else {})
+    report = {"seed": args.seed, "iters": args.iters,
+              "task": ("round-2 golden (synthetic 4-class, noise 110, "
+                       "8 labels)" if args.task == "r2"
+                       else "round-3 orbit benchmark")}
     for alg in args.algs.split(","):
-        save_dir = f"/tmp/srt_audit_{alg}_{args.seed}"
-        # the round-2 golden operating point, dense logging
-        out = run_golden(alg, dataset="synthetic", num_classes=4, labels=8,
-                         noise=110, iters=args.iters, seed=args.seed,
+        save_dir = f"/tmp/srt_audit_{alg}_{args.seed}_{args.task}"
+        # the audited operating point, dense logging
+        out = run_golden(alg, iters=args.iters, seed=args.seed,
                          save_dir=save_dir, num_log_iter=10,
-                         num_eval_iter=max(args.iters // 3, 1))
+                         num_eval_iter=max(args.iters // 3, 1), **task_kw)
         rows = trace_of(save_dir, f"{alg}_{args.seed}_1.0")
         keys = ["total_loss", "sup_loss", "unsup_loss", "util_ratio",
                 "time_p", "max_prob_mean", "ent_loss",
@@ -79,9 +86,11 @@ def main():
         for row in tr:
             print(json.dumps(row, default=float))
 
-    with open("QUALITY_r03_collapse_audit.json", "w") as f:
+    out_name = ("QUALITY_r03_collapse_audit.json" if args.task == "r2"
+                else "QUALITY_r03_collapse_audit_orbit.json")
+    with open(out_name, "w") as f:
         json.dump(report, f, indent=1, default=float)
-    print("wrote QUALITY_r03_collapse_audit.json")
+    print(f"wrote {out_name}")
 
 
 if __name__ == "__main__":

@@ -314,6 +314,101 @@ def _sr_section(report):
     return lines
 
 
+def _collapse_section():
+    """Trace-backed audit of the round-2 seed-2 collapses (VERDICT r2
+    item 3), from scripts/audit_collapse.py output. Both mechanisms are
+    FAITHFUL reference behavior, verified against the reference source."""
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    path = _os.path.join(root, "QUALITY_r03_collapse_audit.json")
+    if not _os.path.exists(path):
+        return []
+    d = json.load(open(path))
+    lines = ["", "## Collapse audits (round-2 task, seed 2)",
+             "",
+             f"The round-2 golden task showed freematch and defixmatch at "
+             f"chance (4 classes) at seed 2 only. Reruns with dense "
+             f"loss/threshold traces ({path.rsplit('/', 1)[-1]}, "
+             f"{d['iters']} iters):"]
+    fm = d.get("freematch")
+    if fm:
+        tr = fm["trace"]
+        full = sum(1 for r in tr if r.get("util_ratio") == 1.0)
+        lines += [
+            "",
+            f"**freematch** (final acc {fm['final_acc']:.3f}): util_ratio "
+            f"is 1.0 at {full}/{len(tr)} logged steps — from the FIRST "
+            f"step. The reference initializes the self-adaptive threshold "
+            f"time_p at 1/C (freematch/utils.py:19-21, time_p = "
+            f"p_model.mean() with p_model = ones(C)/C) and masks at "
+            f"max_probs >= time_p * mod[class] with mod <= 1 "
+            f"(utils.py:65); a C-way max-softmax is always >= 1/C, so at "
+            f"init EVERY unlabeled sample trains at full weight while the "
+            f"model is still at chance (trace: max_prob_mean "
+            f"{tr[0].get('max_prob_mean', float('nan')):.2f} at step "
+            f"{tr[0]['step']}). time_p rises only "
+            f"{tr[0].get('time_p', float('nan')):.3f} -> "
+            f"{tr[-1].get('time_p', float('nan')):.3f} over "
+            f"{d['iters']} iters at the reference's 0.999 EMA — the "
+            f"threshold never clears the confidence floor, so the run is "
+            f"full-weight self-training from scratch; at this seed the "
+            f"confirmation bias locks in before the 8 labels establish "
+            f"signal (sup_loss {tr[0].get('sup_loss', float('nan')):.2f} "
+            f"-> {tr[-1].get('sup_loss', float('nan')):.2f} while "
+            f"unsup_loss stays {tr[-1].get('unsup_loss', float('nan')):.2f}"
+            f"). A masking bug would show util_ratio detached from the "
+            f"threshold; the trace shows the threshold doing exactly what "
+            f"the reference formula says. The SAT update itself is "
+            f"torch-parity-tested (tests/test_thresholding.py).",
+        ]
+    dfx = d.get("defixmatch")
+    if dfx:
+        tr = dfx["trace"]
+        act = next((r["step"] for r in tr
+                    if r.get("util_ratio_lb", 0) > 0), None)
+        max_lb = max((r.get("util_ratio_lb", 0) for r in tr), default=0)
+        max_u = max((r.get("util_ratio", 0) for r in tr), default=0)
+        min_t = min((r.get("total_loss", 0) for r in tr), default=0)
+        lines += [
+            "",
+            f"**defixmatch** (final acc {dfx['final_acc']:.3f}): the "
+            f"reference total is sup + lambda*(unsup - anti_unsup) "
+            f"(defixmatch.py:116) where the anti term is the model's own "
+            f"pseudo-labels applied to LABELED strong views — gradient "
+            f"ASCENT on that CE. In the trace the positive unlabeled "
+            f"branch never activates (util_ratio <= {max_u:.2f}; no "
+            f"unlabeled sample clears p_cutoff=0.95 on this hard seed) "
+            f"while the anti branch does (util_ratio_lb first > 0 at step "
+            f"{act}, peaking {max_lb:.2f}): once the model grows "
+            f"confident on the labeled data it is fitting, the subtracted "
+            f"term un-learns those same labels (total_loss goes negative, "
+            f"min {min_t:.2f}; sup_loss never converges). With real "
+            f"unlabeled headroom the positive branch dominates and the "
+            f"subtraction is the intended bias correction — on the "
+            f"round-3 orbit benchmark defixmatch GAINS at every seed "
+            f"(+0.078/+0.098/+0.168). Faithful instability, not a bug.",
+        ]
+    opath = _os.path.join(root, "QUALITY_r03_collapse_audit_orbit.json")
+    if _os.path.exists(opath):
+        od = json.load(open(opath))
+        fm2 = od.get("freematch")
+        if fm2:
+            tr = fm2["trace"]
+            full = sum(1 for r in tr if r.get("util_ratio") == 1.0)
+            lines += [
+                "",
+                f"**freematch on the round-3 orbit task** (seed 2, "
+                f"{od['iters']} iters, final acc {fm2['final_acc']:.3f} "
+                f"vs 0.754 labeled-only): same cold-start signature — "
+                f"util_ratio 1.0 at {full}/{len(tr)} logged steps, time_p "
+                f"{tr[0].get('time_p', float('nan')):.3f} -> "
+                f"{tr[-1].get('time_p', float('nan')):.3f} — but with 6 "
+                f"classes and orbit headroom the run lands far above "
+                f"chance; the -0.08 dip at this one seed is the same "
+                f"full-weight-from-step-one dynamic, milder.",
+            ]
+    return lines
+
+
 def _write_md(report, rnd):
     lines = [
         "# Golden-learning quality report",
@@ -372,6 +467,7 @@ def _write_md(report, rnd):
                 f"| {m} over {r['base']} | {r['base_balanced_acc']:.4f} | "
                 f"{r['imb_balanced_acc']:.4f} | {r['gain']:+.4f} |")
     lines += _seed_section(report, rnd)
+    lines += _collapse_section()
     os_path = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), "docs", "quality.md")
     with open(os_path, "w") as f:

