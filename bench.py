@@ -69,7 +69,7 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
 
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
-                  sr_ema: bool = False, fused: bool = False):
+                  sr_ema: bool = False, fused=None):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -100,10 +100,12 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     cfg.extra["synthetic_train"] = 2048
     if flat:
         cfg.extra["flat_optimizer"] = True
-    if fused:
-        # single-launch pallas MLP (ops/fused_mlp.py) — A/B for the
-        # fc2-bound fusion pair identified in the round-2 trace work
-        cfg.extra["use_fused_mlp"] = True
+    if fused is not None:
+        # force the single-launch pallas MLP on/off (ops/fused_mlp.py) —
+        # A/B for the fc2-bound fusion pair identified in the round-2
+        # trace work. Default (None) = the Trainer's auto rule: fused on
+        # a single TPU chip for ViT nets (measured +17%, NOTES_DEV r3).
+        cfg.extra["use_fused_mlp"] = fused
     if sr_reforward > 1:
         # ref-equivalent mode: restore the reference's redundant device
         # work (sr_decay() full backbone re-forwards per stage-2 step,
@@ -196,9 +198,12 @@ def main():
     p.add_argument("--sr-ema", action="store_true",
                    help="bench the EMARewarder scoring-path variant "
                         "(sr_ema=True, as some reference YAMLs configure)")
-    p.add_argument("--fused", action="store_true",
-                   help="use the pallas fused MLP (ops/fused_mlp.py) in "
-                        "the backbone")
+    p.add_argument("--fused", action="store_true", default=None,
+                   help="force the pallas fused MLP (ops/fused_mlp.py) ON "
+                        "(default: Trainer auto rule — on for single-chip "
+                        "TPU ViT)")
+    p.add_argument("--no-fused", dest="fused", action="store_false",
+                   help="force the pallas fused MLP OFF (A/B baseline)")
     args = p.parse_args()
 
     import os
@@ -240,7 +245,7 @@ def main():
         "model_flops_per_step": flops_step,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "device": str(jax.devices()[0]),
-        "fused_mlp": bool(args.fused),
+        "fused_mlp": bool(getattr(trainer.model, "use_fused_mlp", False)),
     }
 
     vs_baseline = None

@@ -105,7 +105,17 @@ class Trainer:
             net_kw["remat"] = True
         if cfg.extra.get("use_flash_attention"):
             net_kw["use_flash"] = True
-        if cfg.extra.get("use_fused_mlp"):
+        fused = cfg.extra.get("use_fused_mlp")
+        if fused is None and cfg.net.startswith(("vit_", "dinov2_")):
+            # auto-default: the single-launch pallas MLP (ops/fused_mlp.py)
+            # measures +17% on the headline step (85.4 vs 73.0 steps/s/chip,
+            # v5e — NOTES_DEV round 3). Single-chip TPU only: pallas_call
+            # has no GSPMD partitioning rule, so under a multi-device mesh
+            # XLA would all-gather its operands; force via
+            # extra['use_fused_mlp'] to override either way.
+            from semireward_tpu.ops.fused_mlp import fused_mlp_available
+            fused = fused_mlp_available() and jax.device_count() == 1
+        if fused:
             net_kw["use_fused_mlp"] = True
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))

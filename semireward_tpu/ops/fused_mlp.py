@@ -39,14 +39,26 @@ _SQRT_2 = 1.4142135623730951
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — five
+    orders below bf16 resolution). ``lax.erf`` has no Pallas TPU (Mosaic)
+    lowering; this rational form uses only exp/mul/add, which do."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu(u):
-    """Exact (erf) gelu, f32."""
-    return 0.5 * u * (1.0 + jax.lax.erf(u / _SQRT_2))
+    """Exact-form (erf) gelu, f32 (erf itself via ``_erf``)."""
+    return 0.5 * u * (1.0 + _erf(u / _SQRT_2))
 
 
 def _dgelu(u):
-    """d/du of exact gelu."""
-    cdf = 0.5 * (1.0 + jax.lax.erf(u / _SQRT_2))
+    """d/du of exact-form gelu."""
+    cdf = 0.5 * (1.0 + _erf(u / _SQRT_2))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * u * u)
     return cdf + u * pdf
 
