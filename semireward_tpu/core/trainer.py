@@ -106,10 +106,13 @@ class Trainer:
         if cfg.extra.get("use_flash_attention"):
             net_kw["use_flash"] = True
         fused = cfg.extra.get("use_fused_mlp")
-        if fused is None and cfg.net.startswith(("vit_", "dinov2_")):
-            # auto-default: the single-launch pallas MLP (ops/fused_mlp.py)
-            # measures +17% on the headline step (85.4 vs 73.0 steps/s/chip,
-            # v5e — NOTES_DEV round 3). Single-chip TPU only: pallas_call
+        if fused is None and cfg.net.startswith(
+                ("vit_", "dinov2_", "bert_", "hubert_", "wave2vecv2_")):
+            # auto-default: the pallas MLP (ops/fused_mlp.py) keeps the 4C
+            # hidden in VMEM — +17% measured on the headline ViT-S step
+            # (85.4 vs 73.0 steps/s/chip, v5e — NOTES_DEV round 3); the
+            # H=3072 families (ViT-B/BERT/HuBERT/wav2vec2) take its
+            # hidden-blocked variant. Single-chip TPU only: pallas_call
             # has no GSPMD partitioning rule, so under a multi-device mesh
             # XLA would all-gather its operands; force via
             # extra['use_fused_mlp'] to override either way.

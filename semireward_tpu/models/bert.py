@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from semireward_tpu.models.initializers import torch_bias_init
+from semireward_tpu.models.initializers import DenseParams, torch_bias_init
 
 bert_init = nn.initializers.normal(0.02)
 
@@ -62,6 +62,7 @@ class BertLayer(nn.Module):
     heads: int
     intermediate: int
     dtype: Any = jnp.bfloat16
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
@@ -71,13 +72,25 @@ class BertLayer(nn.Module):
                               name="attention")(x, attn_bias, train)
         h = nn.Dropout(0.1, deterministic=not train)(h)
         x = ln("attention_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
-        m = nn.Dense(self.intermediate, kernel_init=bert_init,
-                     bias_init=torch_bias_init, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="intermediate")(x)
-        m = nn.gelu(m, approximate=False)
-        m = nn.Dense(self.hidden, kernel_init=bert_init,
-                     bias_init=torch_bias_init, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="output")(m)
+        if self.use_fused:
+            # dropout sits AFTER fc2, so the hidden-blocked pallas MLP
+            # (ops/fused_mlp.py) applies in training too; param tree
+            # identical to the Dense pair
+            from semireward_tpu.ops.fused_mlp import fused_mlp
+            w1, b1 = DenseParams(self.hidden, self.intermediate,
+                                 kernel_init=bert_init,
+                                 name="intermediate")()
+            w2, b2 = DenseParams(self.intermediate, self.hidden,
+                                 kernel_init=bert_init, name="output")()
+            m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
+        else:
+            m = nn.Dense(self.intermediate, kernel_init=bert_init,
+                         bias_init=torch_bias_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="intermediate")(x)
+            m = nn.gelu(m, approximate=False)
+            m = nn.Dense(self.hidden, kernel_init=bert_init,
+                         bias_init=torch_bias_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="output")(m)
         m = nn.Dropout(0.1, deterministic=not train)(m)
         return ln("output_ln")((x + m).astype(jnp.float32)).astype(self.dtype)
 
@@ -95,6 +108,7 @@ class ClassificationBert(nn.Module):
     max_position: int = 512
     type_vocab: int = 2
     dtype: Any = jnp.bfloat16
+    use_fused_mlp: bool = False
 
     @property
     def num_features(self) -> int:
@@ -145,8 +159,8 @@ class ClassificationBert(nn.Module):
                               ).astype(jnp.float32)
         for i in range(self.layers):
             h = BertLayer(self.hidden, self.heads, self.intermediate,
-                          dtype=self.dtype, name=f"layer{i}")(h, attn_bias,
-                                                              train)
+                          dtype=self.dtype, use_fused=self.use_fused_mlp,
+                          name=f"layer{i}")(h, attn_bias, train)
         last_hidden = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last_hidden)
         # reference mean-pools over ALL positions including padding
@@ -173,14 +187,20 @@ def _layer_id(names, num_layers):
     return num_layers
 
 
+_BERT_FIELDS = ("hidden", "layers", "heads", "intermediate", "max_position",
+                "use_fused_mlp")
+
+
 def bert_base_uncased(num_classes: int, dtype=jnp.bfloat16, **kw):
+    fields = {k: v for k, v in kw.items() if k in _BERT_FIELDS}
     return ClassificationBert(num_classes=num_classes, vocab_size=30522,
-                              dtype=dtype)
+                              dtype=dtype, **fields)
 
 
 def bert_base_cased(num_classes: int, dtype=jnp.bfloat16, **kw):
+    fields = {k: v for k, v in kw.items() if k in _BERT_FIELDS}
     return ClassificationBert(num_classes=num_classes, vocab_size=28996,
-                              dtype=dtype)
+                              dtype=dtype, **fields)
 
 
 for _b in (bert_base_uncased, bert_base_cased):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from semireward_tpu.models.initializers import torch_bias_init
+from semireward_tpu.models.initializers import DenseParams, torch_bias_init
 
 w_init = nn.initializers.normal(0.02)
 
@@ -60,6 +60,7 @@ class EncoderLayer(nn.Module):
     heads: int = 12
     intermediate: int = 3072
     dtype: Any = jnp.bfloat16
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -83,13 +84,24 @@ class EncoderLayer(nn.Module):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                     param_dtype=jnp.float32, name=n)
         x = ln("ln1")((x + o).astype(jnp.float32)).astype(self.dtype)
-        m = nn.Dense(self.intermediate, kernel_init=w_init,
-                     bias_init=torch_bias_init, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="ff1")(x)
-        m = nn.gelu(m, approximate=False)
-        m = nn.Dense(self.hidden, kernel_init=w_init,
-                     bias_init=torch_bias_init, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="ff2")(m)
+        if self.use_fused:
+            # dropout sits AFTER ff2, so the hidden-blocked pallas MLP
+            # (ops/fused_mlp.py) applies in training too; param tree
+            # identical to the Dense pair
+            from semireward_tpu.ops.fused_mlp import fused_mlp
+            w1, b1 = DenseParams(self.hidden, self.intermediate,
+                                 kernel_init=w_init, name="ff1")()
+            w2, b2 = DenseParams(self.intermediate, self.hidden,
+                                 kernel_init=w_init, name="ff2")()
+            m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
+        else:
+            m = nn.Dense(self.intermediate, kernel_init=w_init,
+                         bias_init=torch_bias_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="ff1")(x)
+            m = nn.gelu(m, approximate=False)
+            m = nn.Dense(self.hidden, kernel_init=w_init,
+                         bias_init=torch_bias_init, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="ff2")(m)
         m = nn.Dropout(0.1, deterministic=not train)(m)
         return ln("ln2")((x + m).astype(jnp.float32)).astype(self.dtype)
 
@@ -102,6 +114,7 @@ class ClassificationAudioTransformer(nn.Module):
     layers: int = 12
     heads: int = 12
     dtype: Any = jnp.bfloat16
+    use_fused_mlp: bool = False
 
     @property
     def num_features(self) -> int:
@@ -150,6 +163,7 @@ class ClassificationAudioTransformer(nn.Module):
 
         for i in range(self.layers):
             h = EncoderLayer(self.hidden, self.heads, dtype=self.dtype,
+                             use_fused=self.use_fused_mlp,
                              name=f"layer{i}")(h, train)
         last = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last)
@@ -173,7 +187,8 @@ def _layer_id(names, num_layers):
 
 
 def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
-    fields = {k: v for k, v in kw.items() if k in ("hidden", "layers", "heads")}
+    fields = {k: v for k, v in kw.items()
+              if k in ("hidden", "layers", "heads", "use_fused_mlp")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from semireward_tpu.models.initializers import DenseParams as _DenseParams
 from semireward_tpu.models.initializers import torch_kernel_init as torch_default_init
 from semireward_tpu.models.initializers import torch_bias_init
 
@@ -34,23 +35,6 @@ def _drop_path(x, rate: float, deterministic: bool, rng):
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
-
-
-class _DenseParams(nn.Module):
-    """Registers kernel/bias with nn.Dense's exact names, shapes, inits and
-    RNG-fold paths (flax folds the init key by param path, so values are
-    bit-identical to the Dense they stand in for) — used by the fused-MLP
-    path, which needs the raw weights for the pallas kernel."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", torch_default_init,
-                       (self.in_features, self.features), jnp.float32)
-        b = self.param("bias", torch_bias_init, (self.features,), jnp.float32)
-        return k, b
 
 
 class Mlp(nn.Module):

@@ -14,7 +14,12 @@ from semireward_tpu.models.hubert import (
 
 
 def wave2vecv2_base(num_classes: int, dtype=jnp.bfloat16, **kw):
-    return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype)
+    fields = {k: v for k, v in kw.items()
+              if k in ("hidden", "layers", "heads", "use_fused_mlp")}
+    if "num_layers" in kw:
+        fields["layers"] = kw["num_layers"]
+    return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,
+                                          **fields)
 
 
 wave2vecv2_base.layer_id_fn = _layer_id

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 try:  # pallas import is TPU/GPU-gated (same pattern as ops/attention.py)
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover
@@ -185,8 +186,222 @@ def _bwd(x, w1, b1, w2, g, *, block_m, interpret):
 
 
 # ---------------------------------------------------------------------------
-# public op
+# hidden-blocked variant (large models: ViT-B / BERT / HuBERT, H = 3072)
+#
+# The full-resident kernels above keep both weight matrices AND their f32
+# grad accumulators in VMEM — ~12 bytes per weight element, fine for ViT-S
+# (C*H = 0.6 M) but 28 MB at C=768/H=3072, far past the ~16 MB/core VMEM.
+# These variants tile the HIDDEN dim: each grid step sees only a [C, bh]
+# slice of W1 / [bh, C] of W2. The hidden activation still never touches
+# HBM; the price is that x/g are re-read H/bh times and the backward needs
+# two launches (dx accumulates over hidden blocks at fixed rows; dW1/dW2
+# accumulate over row blocks at fixed hidden block — opposite grid orders,
+# TPU grids are sequential-minor-last, so they cannot share one launch).
 # ---------------------------------------------------------------------------
+
+def _fwd_blocked_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                        acc_ref, *, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.broadcast_to(
+            b2_ref[...].astype(jnp.float32), acc_ref.shape)
+
+    x = x_ref[...]                                        # [bm, C] bf16
+    u = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b1_ref[...].astype(jnp.float32)               # [bm, bh] f32
+    h = _gelu(u).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _fwd_blocked(x, w1, b1, w2, b2, *, block_m, block_h, interpret):
+    m, c = x.shape
+    h = w1.shape[1]
+    nj = h // block_h
+    grid = (pl.cdiv(m, block_m), nj)
+    return pl.pallas_call(
+        functools.partial(_fwd_blocked_kernel, nj=nj),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, c), jnp.float32)],
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref, dx_ref,
+                   acc_ref, *, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    w1 = w1_ref[...]                                      # [C, bh]
+    u = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b1_ref[...].astype(jnp.float32)
+    dh = jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = (dh * _dgelu(u)).astype(x.dtype)                 # [bm, bh]
+    acc_ref[...] += jax.lax.dot_general(
+        dh, w1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
+
+
+def _bwd_dw_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                   dw1_ref, dw2_ref, db1_ref, db2_ref, *, m):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_db2():
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    # mask padded rows of a partial final row block (see _bwd_kernel)
+    bm = x.shape[0]
+    rid = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    valid = rid < m
+    x = jnp.where(valid, x, jnp.zeros_like(x))
+    g = jnp.where(valid, g, jnp.zeros_like(g))
+
+    u = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b1_ref[...].astype(jnp.float32)               # [bm, bh]
+    h = _gelu(u).astype(x.dtype)
+    dh = jax.lax.dot_general(g, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = dh * _dgelu(u)
+    dh_lp = dh.astype(x.dtype)
+
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dh_lp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [C, bh]
+    dw2_ref[...] += jax.lax.dot_general(
+        h, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bh, C]
+    db1_ref[...] += dh.sum(axis=0, keepdims=True)
+
+    @pl.when(j == 0)  # db2 is hidden-block independent: count rows once
+    def _acc_db2():
+        db2_ref[...] += g.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+
+def _bwd_blocked(x, w1, b1, w2, g, *, block_m, block_h, interpret):
+    m, c = x.shape
+    h = w1.shape[1]
+    nj = h // block_h
+    ni = pl.cdiv(m, block_m)
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, nj=nj),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((block_h, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_m, c), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, c), jnp.float32)],
+        interpret=interpret,
+    )(x, w1, b1, w2, g)
+    dw1, dw2, db1, db2 = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, m=m),
+        grid=(nj, ni),
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda j, i: (i, 0)),
+            pl.BlockSpec((c, block_h), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_h), lambda j, i: (0, j)),
+            pl.BlockSpec((block_h, c), lambda j, i: (j, 0)),
+            pl.BlockSpec((block_m, c), lambda j, i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, block_h), lambda j, i: (0, j)),
+            pl.BlockSpec((block_h, c), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, block_h), lambda j, i: (0, j)),
+            pl.BlockSpec((1, c), lambda j, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, h), jnp.float32),    # dW1
+            jax.ShapeDtypeStruct((h, c), jnp.float32),    # dW2
+            jax.ShapeDtypeStruct((1, h), jnp.float32),    # db1
+            jax.ShapeDtypeStruct((1, c), jnp.float32),    # db2
+        ],
+        interpret=interpret,
+    )(x, w1, b1, w2, g)
+    return dx, dw1, dw2, db1, db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_mlp_blocked(x2d, w1, b1, w2, b2, block_m, block_h, interpret):
+    return _fwd_blocked(x2d, w1, b1, w2, b2, block_m=block_m,
+                        block_h=block_h, interpret=interpret)
+
+
+def _fused_mlp_blocked_fwd(x2d, w1, b1, w2, b2, block_m, block_h, interpret):
+    out = _fwd_blocked(x2d, w1, b1, w2, b2, block_m=block_m,
+                       block_h=block_h, interpret=interpret)
+    return out, (x2d, w1, b1, w2)
+
+
+def _fused_mlp_blocked_bwd(block_m, block_h, interpret, res, g):
+    x2d, w1, b1, w2 = res
+    dx, dw1, dw2, db1, db2 = _bwd_blocked(
+        x2d, w1, b1, w2, g.astype(x2d.dtype),
+        block_m=block_m, block_h=block_h, interpret=interpret)
+    return dx, dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2
+
+
+_fused_mlp_blocked.defvjp(_fused_mlp_blocked_fwd, _fused_mlp_blocked_bwd)
+
+# weights + f32 grad accumulators cost 12 bytes/element resident in VMEM;
+# past this budget the full-resident kernels overflow ~16 MB/core and the
+# hidden-blocked variants take over (ViT-S C*H=0.59M stays full-resident,
+# ViT-B / BERT / HuBERT C*H=2.36M go blocked).
+_FULL_RESIDENT_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _pick_block_h(c: int, h: int) -> Optional[int]:
+    """Largest hidden-block size whose [C, bh] weight slice + f32
+    accumulator fit the budget. None if no (8,128)-aligned divisor works."""
+    for bh in (1536, 1024, 768, 512, 384, 256, 128):
+        if h % bh == 0 and c * bh * 12 <= _FULL_RESIDENT_BUDGET_BYTES:
+            return bh
+    return None
+
+
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _fused_mlp(x2d, w1, b1, w2, b2, block_m, interpret):
@@ -214,21 +429,31 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
 def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
+              block_h: Optional[int] = None,
               interpret: Optional[bool] = None):
     """gelu-MLP with the hidden kept in VMEM. ``x``: [..., C] (leading dims
     flattened to rows); weights as stored by flax Dense (f32 params are
     cast to the activation dtype for the MXU, like ``nn.Dense(dtype=...)``
-    does). On non-TPU backends the kernel runs in interpret mode (slow —
-    for tests)."""
+    does). Dispatches to the full-resident kernels when weights + grad
+    accumulators fit VMEM (ViT-S class), else to the hidden-blocked
+    variants (ViT-B / BERT / HuBERT, H=3072); ``block_h`` forces a hidden
+    block size. On non-TPU backends the kernel runs in interpret mode
+    (slow — for tests)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     lead = x.shape[:-1]
     c = x.shape[-1]
+    h = w1.shape[1]
     dt = x.dtype
     x2d = x.reshape(-1, c)
-    out = _fused_mlp(x2d, w1.astype(dt), b1.astype(jnp.float32).reshape(1, -1),
-                     w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1),
-                     block_m, interpret)
+    args = (x2d, w1.astype(dt), b1.astype(jnp.float32).reshape(1, -1),
+            w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1))
+    if block_h is None and c * h * 12 > _FULL_RESIDENT_BUDGET_BYTES:
+        block_h = _pick_block_h(c, h)
+    if block_h is not None and block_h < h:
+        out = _fused_mlp_blocked(*args, block_m, block_h, interpret)
+    else:
+        out = _fused_mlp(*args, block_m, interpret)
     return out.reshape(*lead, -1)
 
 

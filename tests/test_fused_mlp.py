@@ -67,6 +67,66 @@ def test_gradients_match(weights):
                                atol=0.03 * scale)
 
 
+def _fused_blocked(x, w1, b1, w2, b2):
+    # block_h=128 -> 2 hidden blocks; block_m=16 -> partial final row block
+    return fused_mlp(x, w1, b1, w2, b2, block_m=16, block_h=128,
+                     interpret=True).astype(jnp.float32)
+
+
+def test_blocked_forward_matches(weights):
+    x, w1, b1, w2, b2 = weights
+    o_ref = _ref(x, w1, b1, w2, b2)
+    o_f = _fused_blocked(x, w1, b1, w2, b2)
+    scale = float(jnp.max(jnp.abs(o_ref)))
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               atol=0.02 * scale)
+
+
+def test_blocked_gradients_match(weights):
+    x, w1, b1, w2, b2 = weights
+    coef = jnp.arange(C, dtype=jnp.float32)
+
+    g_ref = jax.grad(lambda a: (_ref(x, *a) * coef).sum())((w1, b1, w2, b2))
+    g_f = jax.grad(
+        lambda a: (_fused_blocked(x, *a) * coef).sum())((w1, b1, w2, b2))
+    for a, b in zip(g_ref, g_f):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.03 * scale)
+
+    gx_ref = jax.grad(
+        lambda x32: (_ref(x32.astype(jnp.bfloat16), w1, b1, w2, b2)
+                     * coef).sum())(x.astype(jnp.float32))
+    gx_f = jax.grad(
+        lambda x32: (_fused_blocked(x32.astype(jnp.bfloat16), w1, b1, w2, b2)
+                     * coef).sum())(x.astype(jnp.float32))
+    scale = float(jnp.max(jnp.abs(gx_ref))) + 1e-9
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_ref),
+                               atol=0.03 * scale)
+
+
+def test_blocked_dispatch_choice():
+    """ViT-S stays on the full-resident kernels (measured +17% there);
+    ViT-B/BERT/HuBERT (C=768, H=3072) must go hidden-blocked — their
+    weights + f32 accumulators (28 MB) overflow the ~16 MB/core VMEM."""
+    from semireward_tpu.ops.fused_mlp import (_FULL_RESIDENT_BUDGET_BYTES,
+                                              _pick_block_h)
+
+    assert 384 * 1536 * 12 <= _FULL_RESIDENT_BUDGET_BYTES   # ViT-S
+    assert 768 * 3072 * 12 > _FULL_RESIDENT_BUDGET_BYTES    # ViT-B / BERT
+    bh = _pick_block_h(768, 3072)
+    assert bh is not None and 3072 % bh == 0
+    assert 768 * bh * 12 <= _FULL_RESIDENT_BUDGET_BYTES
+
+
+def _assert_tree_identical(v0, v1):
+    f0 = jax.tree_util.tree_flatten_with_path(v0["params"])[0]
+    f1 = jax.tree_util.tree_flatten_with_path(v1["params"])[0]
+    assert [p for p, _ in f0] == [p for p, _ in f1]
+    for (_, a), (_, b) in zip(f0, f1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vit_param_tree_identical():
     """The fused-MLP ViT must expose the exact same param pytree (paths,
     shapes, dtypes AND init values) as the Dense path — checkpoints and
@@ -80,8 +140,32 @@ def test_vit_param_tree_identical():
         {"params": jax.random.PRNGKey(0)}, x, train=False)
     v1 = VisionTransformer(use_fused_mlp=True, **kw).init(
         {"params": jax.random.PRNGKey(0)}, x, train=False)
-    f0 = jax.tree_util.tree_flatten_with_path(v0["params"])[0]
-    f1 = jax.tree_util.tree_flatten_with_path(v1["params"])[0]
-    assert [p for p, _ in f0] == [p for p, _ in f1]
-    for (_, a), (_, b) in zip(f0, f1):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _assert_tree_identical(v0, v1)
+
+
+def test_bert_param_tree_identical():
+    """Same contract for the BERT encoder (HF pretrained grafts must land
+    on the fused tree unchanged)."""
+    from semireward_tpu.models.bert import ClassificationBert
+
+    kw = dict(num_classes=3, vocab_size=64, hidden=32, layers=1, heads=2,
+              intermediate=64, max_position=16)
+    x = {"input_ids": jnp.zeros((2, 8), jnp.int32),
+         "attention_mask": jnp.ones((2, 8), jnp.int32)}
+    v0 = ClassificationBert(**kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    v1 = ClassificationBert(use_fused_mlp=True, **kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    _assert_tree_identical(v0, v1)
+
+
+def test_hubert_param_tree_identical():
+    from semireward_tpu.models.hubert import ClassificationAudioTransformer
+
+    kw = dict(num_classes=3, hidden=32, layers=1, heads=2)
+    x = jnp.zeros((2, 2000), jnp.float32)
+    v0 = ClassificationAudioTransformer(**kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    v1 = ClassificationAudioTransformer(use_fused_mlp=True, **kw).init(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    _assert_tree_identical(v0, v1)
