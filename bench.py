@@ -73,7 +73,40 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
-    if mode == "large":
+    if mode == "nlp":
+        # usb_nlp geometry (reference fixmatch_aclImdb_100_1.yaml: BERT-base,
+        # bs=4, uratio=1, max_length 512, AdamW lr 5e-5 layer_decay 0.65).
+        # Data is a deterministic synthetic JSON corpus (zero-egress host);
+        # the tokenizer falls back to the hash tokenizer — identical shapes
+        # and device work to the real corpus.
+        import os as _os
+
+        root = "/tmp/bench_nlp_data"
+        base = _os.path.join(root, "synthnlp")
+        if not _os.path.exists(_os.path.join(base, "train.json")):
+            import json as _json
+
+            _os.makedirs(base, exist_ok=True)
+            rs = np.random.RandomState(0)
+            words = [f"w{i}" for i in range(400)]
+            for split, count in (("train", 300), ("dev", 32), ("test", 32)):
+                d = {}
+                for i in range(count):
+                    y = int(rs.randint(2))
+                    text = " ".join(rs.choice(words, 40 + 20 * y))
+                    d[str(i)] = {"ori": text, "aug_0": text + " a",
+                                 "aug_1": text + " b", "label": y}
+                with open(_os.path.join(base, f"{split}.json"), "w") as f:
+                    _json.dump(d, f)
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="bert_base_uncased", dataset="synthnlp",
+            num_classes=2, num_labels=40, batch_size=4, uratio=1,
+            eval_batch_size=16, max_length=512, optim="AdamW", lr=5e-5,
+            layer_decay=0.65, weight_decay=5e-4, ema_m=0.0, T=0.5,
+            p_cutoff=0.95, num_train_iter=1 << 20, num_eval_iter=1 << 30,
+            num_log_iter=1 << 30, data_dir=root, seed=0,
+            save_name="bench_nlp", mesh_shape=(-1,)))
+    elif mode == "large":
         # classic_cv geometry (reference fixmatch_cifar10_40.yaml family):
         # bs=64, uratio=7, WRN-28-2, SGD — the large-batch MXU-friendly case
         cfg = get_config(dict(
@@ -119,11 +152,9 @@ def measure_steps(trainer, cfg, n_steps=200, host_fetch=False):
     """``host_fetch=True`` additionally blocks on 4 metric scalars every
     step — the reference's per-step ``log_dict`` ``.item()`` syncs
     (srflexmatch.py:213-216) — for the ref-equivalent measurement."""
-    from semireward_tpu.data.loader import SSLLoader
 
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
-    loader = SSLLoader(trainer.bundle, cfg.batch_size, cfg.ulb_batch_size,
-                       seed=0)
+    loader = trainer._make_loader()  # modality-aware (CV / NLP / audio)
     batches = [trainer._put_batch(next(loader)) for _ in range(8)]
     state = trainer.state
     for i in range(3):
@@ -188,7 +219,7 @@ def measure_reward_scoring(cfg, trainer, n: int = 200):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["headline", "large"],
+    p.add_argument("--mode", choices=["headline", "large", "nlp"],
                    default="headline")
     p.add_argument("--flat", action="store_true",
                    help="run the raveled-vector optimizer path")
@@ -230,6 +261,14 @@ def main():
         # WRN-28-2 fwd = 0.43 GFLOP/image at 32x32 (exact conv arithmetic:
         # 3 stages x ~141.6 MFLOP + stem/shortcuts)
         flops_step = wrn_step_flops(0.43e9, images)
+    elif args.mode == "nlp":
+        # embedding-table lookups are not matmul FLOPs — exclude them
+        mm_params = sum(
+            x.size for p, x in jax.tree_util.tree_flatten_with_path(
+                trainer.state.params)[0]
+            if "embedding" not in jax.tree_util.keystr(p))
+        flops_step = vit_step_flops(mm_params, tokens=cfg.max_length,
+                                    images=images, hidden=768, layers=12)
     else:
         flops_step = vit_step_flops(n_params, tokens=257, images=images,
                                     hidden=384, layers=12)
@@ -298,9 +337,11 @@ def main():
                 measure_steps(trainer_e, cfg_e) / n_chips, 3)
             del trainer_e
 
-    metric = ("SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)"
-              if args.mode == "headline" else
-              "SSL steps/sec/chip (classic_cv WRN-28-2 FixMatch, bs64 u7)")
+    metric = {
+        "headline": "SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)",
+        "large": "SSL steps/sec/chip (classic_cv WRN-28-2 FixMatch, bs64 u7)",
+        "nlp": "SSL steps/sec/chip (usb_nlp BERT-base FixMatch, bs4 u1 L512)",
+    }[args.mode]
     print(json.dumps({
         "metric": metric,
         "value": round(sps_chip, 3),

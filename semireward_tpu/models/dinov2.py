@@ -17,10 +17,17 @@ from semireward_tpu.models.vit import VisionTransformer, _layer_id
 def _build(name, embed_dim, depth, num_heads):
     def build(num_classes: int, dtype=jnp.bfloat16, img_size: int = 224, **kw):
         size = (img_size // 14) * 14
+        # forward recognized ViT flags (use_fused_mlp / use_flash / remat /
+        # split_qkv, plus test-geometry overrides) like vit._builder does —
+        # the Trainer's single-chip fused-MLP auto-default rides this
+        fixed = ("num_classes", "img_size", "patch_size", "embed_dim",
+                 "depth", "num_heads", "init_values", "dtype")
+        extra = {k: v for k, v in kw.items()
+                 if k in VisionTransformer.__annotations__ and k not in fixed}
         return VisionTransformer(
             num_classes=num_classes, img_size=size or 224, patch_size=14,
             embed_dim=embed_dim, depth=depth, num_heads=num_heads,
-            init_values=1e-5, dtype=dtype)
+            init_values=1e-5, dtype=dtype, **extra)
 
     build.__name__ = name
     build.layer_id_fn = _layer_id

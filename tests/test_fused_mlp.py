@@ -143,6 +143,15 @@ def test_vit_param_tree_identical():
     _assert_tree_identical(v0, v1)
 
 
+def test_dinov2_builder_forwards_fused_flag():
+    """The Trainer auto-default covers dinov2_* nets — the builder must
+    actually forward the flag (it used to swallow **kw silently)."""
+    from semireward_tpu.models.dinov2 import dinov2_vitb14
+
+    assert dinov2_vitb14(num_classes=3, use_fused_mlp=True).use_fused_mlp
+    assert not dinov2_vitb14(num_classes=3).use_fused_mlp
+
+
 def test_bert_param_tree_identical():
     """Same contract for the BERT encoder (HF pretrained grafts must land
     on the fused tree unchanged)."""
