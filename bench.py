@@ -37,10 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# bf16 peak FLOP/s per chip (public specs); MFU is null on unknown chips
+# bf16 peak FLOP/s per chip (public specs); MFU is null on unknown chips.
+# v5e is 197 TFLOP/s bf16 (394 is its INT8 TOPS figure — rounds 1-3
+# mistakenly used it, understating every reported MFU by 2x).
 PEAK_FLOPS = {
     "v4": 275e12,
-    "v5e": 394e12, "v5 lite": 394e12, "v5litepod": 394e12,
+    "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
     "v5p": 459e12,
     "v6e": 918e12, "trillium": 918e12,
 }
@@ -159,14 +161,17 @@ def measure_steps(trainer, cfg, n_steps=200, host_fetch=False):
     state = trainer.state
     for i in range(3):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
-    jax.block_until_ready(m["total_loss"])
+    _ = float(m["total_loss"])  # NOT block_until_ready: on this remote
+    # runtime block_until_ready can return before execution completes
+    # (measured: 200 BERT steps "blocked" in 0.0 s while the chip ran for
+    # another ~25 s) — only a value fetch truly synchronizes
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
         if host_fetch:
             _ = (float(m["sup_loss"]), float(m["unsup_loss"]),
                  float(m["total_loss"]), float(m["util_ratio"]))
-    jax.block_until_ready(m["total_loss"])
+    _ = float(m["total_loss"])
     # the original trainer.state buffers were donated — keep the live ones
     trainer.state = state
     return n_steps / (time.perf_counter() - t0)
@@ -185,13 +190,13 @@ def measure_vit_fwd(trainer, images: int, n: int = 50, chunks: int = 5):
 
     jfwd = jax.jit(fwd)
     out = jfwd(trainer.state.params, x)
-    jax.block_until_ready(out)
+    _ = float(out[0, 0])  # value fetch, not block_until_ready (see above)
     best = float("inf")
     for _ in range(chunks):
         t0 = time.perf_counter()
         for _ in range(n):
             out = jfwd(trainer.state.params, x)
-        jax.block_until_ready(out)
+        _ = float(out[0, 0])
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
@@ -206,13 +211,13 @@ def measure_reward_scoring(cfg, trainer, n: int = 200):
     labels = jnp.zeros((B,), jnp.int32)
     jscore = jax.jit(lambda sr, f, l: score_pseudo_labels(cfg, sr, f, l))
     r, k = jscore(trainer.state.sr, feats, labels)
-    jax.block_until_ready(r)
+    _ = float(r.ravel()[0])  # value fetch, not block_until_ready (see above)
     best = float("inf")
     for _ in range(5):  # min over chunks: single-chunk numbers jitter ~2x
         t0 = time.perf_counter()
         for _ in range(n):
             r, k = jscore(trainer.state.sr, feats, labels)
-        jax.block_until_ready(r)
+        _ = float(r.ravel()[0])
         best = min(best, (time.perf_counter() - t0) / n)
     return B / best
 

@@ -29,6 +29,7 @@ class BertSelfAttention(nn.Module):
     hidden: int
     heads: int
     dtype: Any = jnp.bfloat16
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
@@ -43,7 +44,32 @@ class BertSelfAttention(nn.Module):
         # padding bias forces the einsum fallback inside flash_attention;
         # the blockwise path engages for full-length unmasked batches
         from semireward_tpu.ops.attention import flash_attention
-        if train:
+        if not train:
+            out = flash_attention(q, k, v, bias=attn_bias)
+        elif self.remat_attn:
+            # rematerialized attention WITH dropout: unlike ViT (whose
+            # attn_drop is 0 in every reference config) BERT always trains
+            # with p=0.1 on the probs, so the ViT-style remat guard would
+            # never engage; instead the dropout mask is regenerated inside
+            # the checkpoint from an explicit key (same bernoulli call as
+            # nn.Dropout -> bit-identical masks and grads). Without this,
+            # autodiff stores f32 probs + bf16 dropped-probs + the bool
+            # mask per layer (~300 MB/layer at L=512) for the backward.
+            dt = self.dtype
+            scale = hd ** -0.5
+            key = self.make_rng("dropout")
+
+            def _attn(q, k, v, bias, key):
+                a = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                               preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(a + bias, axis=-1)
+                m = jax.random.bernoulli(key, 0.9, a.shape)
+                a = jnp.where(m, a / 0.9, 0.0)
+                return jnp.einsum("bhlm,bmhd->blhd", a.astype(dt), v,
+                                  preferred_element_type=jnp.float32)
+
+            out = jax.checkpoint(_attn)(q, k, v, attn_bias, key)
+        else:
             att = jnp.einsum("blhd,bmhd->bhlm", q, k,
                              preferred_element_type=jnp.float32) * (hd ** -0.5)
             att = att + attn_bias
@@ -51,8 +77,6 @@ class BertSelfAttention(nn.Module):
             att = nn.Dropout(0.1, deterministic=not train)(att)
             out = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
                              preferred_element_type=jnp.float32)
-        else:
-            out = flash_attention(q, k, v, bias=attn_bias)
         out = out.reshape(B, L, self.hidden).astype(self.dtype)
         return dense("output")(out)
 
@@ -63,12 +87,14 @@ class BertLayer(nn.Module):
     intermediate: int
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
         ln = lambda n: nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                                     param_dtype=jnp.float32, name=n)
         h = BertSelfAttention(self.hidden, self.heads, dtype=self.dtype,
+                              remat_attn=self.remat_attn,
                               name="attention")(x, attn_bias, train)
         h = nn.Dropout(0.1, deterministic=not train)(h)
         x = ln("attention_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
@@ -109,6 +135,7 @@ class ClassificationBert(nn.Module):
     type_vocab: int = 2
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
+    remat_attn: bool = True
 
     @property
     def num_features(self) -> int:
@@ -160,6 +187,7 @@ class ClassificationBert(nn.Module):
         for i in range(self.layers):
             h = BertLayer(self.hidden, self.heads, self.intermediate,
                           dtype=self.dtype, use_fused=self.use_fused_mlp,
+                          remat_attn=self.remat_attn,
                           name=f"layer{i}")(h, attn_bias, train)
         last_hidden = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last_hidden)
@@ -188,7 +216,7 @@ def _layer_id(names, num_layers):
 
 
 _BERT_FIELDS = ("hidden", "layers", "heads", "intermediate", "max_position",
-                "use_fused_mlp")
+                "use_fused_mlp", "remat_attn")
 
 
 def bert_base_uncased(num_classes: int, dtype=jnp.bfloat16, **kw):

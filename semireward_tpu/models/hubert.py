@@ -61,6 +61,7 @@ class EncoderLayer(nn.Module):
     intermediate: int = 3072
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -73,12 +74,31 @@ class EncoderLayer(nn.Module):
         q = dense("q")(x).reshape(B, L, H, hd)
         k = dense("k")(x).reshape(B, L, H, hd)
         v = dense("v")(x).reshape(B, L, H, hd)
-        att = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                         preferred_element_type=jnp.float32) * (hd ** -0.5)
-        att = jax.nn.softmax(att, axis=-1)
-        att = nn.Dropout(0.1, deterministic=not train)(att)
-        o = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
-                       preferred_element_type=jnp.float32)
+        if train and self.remat_attn:
+            # remat with in-checkpoint dropout (see models/bert.py
+            # BertSelfAttention): avoids storing the f32 probs + mask
+            # residuals per layer for the backward
+            dt = self.dtype
+            scale = hd ** -0.5
+            key = self.make_rng("dropout")
+
+            def _attn(q, k, v, key):
+                a = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                               preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(a, axis=-1)
+                m = jax.random.bernoulli(key, 0.9, a.shape)
+                a = jnp.where(m, a / 0.9, 0.0)
+                return jnp.einsum("bhlm,bmhd->blhd", a.astype(dt), v,
+                                  preferred_element_type=jnp.float32)
+
+            o = jax.checkpoint(_attn)(q, k, v, key)
+        else:
+            att = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                             preferred_element_type=jnp.float32) * (hd ** -0.5)
+            att = jax.nn.softmax(att, axis=-1)
+            att = nn.Dropout(0.1, deterministic=not train)(att)
+            o = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
+                           preferred_element_type=jnp.float32)
         o = dense("out")(o.reshape(B, L, self.hidden).astype(self.dtype))
         o = nn.Dropout(0.1, deterministic=not train)(o)
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -115,6 +135,7 @@ class ClassificationAudioTransformer(nn.Module):
     heads: int = 12
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
+    remat_attn: bool = True
 
     @property
     def num_features(self) -> int:
@@ -164,6 +185,7 @@ class ClassificationAudioTransformer(nn.Module):
         for i in range(self.layers):
             h = EncoderLayer(self.hidden, self.heads, dtype=self.dtype,
                              use_fused=self.use_fused_mlp,
+                             remat_attn=self.remat_attn,
                              name=f"layer{i}")(h, train)
         last = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last)
@@ -188,7 +210,8 @@ def _layer_id(names, num_layers):
 
 def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
     fields = {k: v for k, v in kw.items()
-              if k in ("hidden", "layers", "heads", "use_fused_mlp")}
+              if k in ("hidden", "layers", "heads", "use_fused_mlp",
+                       "remat_attn")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

@@ -15,7 +15,8 @@ from semireward_tpu.models.hubert import (
 
 def wave2vecv2_base(num_classes: int, dtype=jnp.bfloat16, **kw):
     fields = {k: v for k, v in kw.items()
-              if k in ("hidden", "layers", "heads", "use_fused_mlp")}
+              if k in ("hidden", "layers", "heads", "use_fused_mlp",
+                       "remat_attn")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

@@ -451,7 +451,11 @@ def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
     if block_h is None and c * h * 12 > _FULL_RESIDENT_BUDGET_BYTES:
         block_h = _pick_block_h(c, h)
     if block_h is not None and block_h < h:
-        out = _fused_mlp_blocked(*args, block_m, block_h, interpret)
+        # smaller row blocks: the dW launch holds x/g/u/h/dh row buffers ON
+        # TOP of both weight slices and f32 accumulators — at block_m=512 /
+        # bh=768 its scoped VMEM peaks ~16.75 MB (over the 16 MB stack
+        # limit inside a full train-step program, measured on v5e)
+        out = _fused_mlp_blocked(*args, min(block_m, 256), block_h, interpret)
     else:
         out = _fused_mlp(*args, block_m, interpret)
     return out.reshape(*lead, -1)
