@@ -97,6 +97,11 @@ class Trainer:
                 minlength=cfg.num_classes).astype(np.float64)
             data_info["lb_class_dist"] = counts / max(counts.sum(), 1)
 
+        self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) \
+            if use_mesh else None
+        pure_dp = (self.mesh is not None
+                   and set(self.mesh.axis_names) == {"data"}
+                   and jax.device_count() > 1)
         builder = NETS.get(cfg.net)
         net_kw = {}
         if "bn_momentum" in cfg.extra:
@@ -112,14 +117,19 @@ class Trainer:
             # hidden in VMEM — +17% measured on the headline ViT-S step
             # (85.4 vs 73.0 steps/s/chip, v5e — NOTES_DEV round 3); the
             # H=3072 families (ViT-B/BERT/HuBERT/wav2vec2) take its
-            # hidden-blocked variant. Single-chip TPU only: pallas_call
-            # has no GSPMD partitioning rule, so under a multi-device mesh
-            # XLA would all-gather its operands; force via
+            # hidden-blocked variant. Engages on a single TPU chip or a
+            # pure-data-parallel mesh (shard_map'd per-shard kernel,
+            # ops/fused_mlp.py:fused_mlp_sharded); fsdp/model meshes keep
+            # the XLA path — pallas_call has no GSPMD partitioning rule,
+            # so GSPMD would all-gather its operands there. Force via
             # extra['use_fused_mlp'] to override either way.
             from semireward_tpu.ops.fused_mlp import fused_mlp_available
-            fused = fused_mlp_available() and jax.device_count() == 1
+            fused = fused_mlp_available() and (jax.device_count() == 1
+                                              or pure_dp)
         if fused:
             net_kw["use_fused_mlp"] = True
+            if pure_dp:
+                net_kw["fused_mesh"] = self.mesh
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))
         self.model = builder(num_classes=cfg.num_classes,
@@ -142,7 +152,6 @@ class Trainer:
             self.alg = alg_cls(cfg, data_info)
         self.model = self.alg.wrap_model(self.model)
 
-        self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
         # the reference uses the no-color RandAugment for tissuemnist
         # (medmnist.py:891); configurable via extra['randaug_no_color']
         no_color = bool(cfg.extra.get(

@@ -88,6 +88,7 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
     remat_attn: bool = True
+    fused_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
@@ -102,13 +103,18 @@ class BertLayer(nn.Module):
             # dropout sits AFTER fc2, so the hidden-blocked pallas MLP
             # (ops/fused_mlp.py) applies in training too; param tree
             # identical to the Dense pair
-            from semireward_tpu.ops.fused_mlp import fused_mlp
+            from semireward_tpu.ops.fused_mlp import (fused_mlp,
+                                                      fused_mlp_sharded)
             w1, b1 = DenseParams(self.hidden, self.intermediate,
                                  kernel_init=bert_init,
                                  name="intermediate")()
             w2, b2 = DenseParams(self.intermediate, self.hidden,
                                  kernel_init=bert_init, name="output")()
-            m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
+            if self.fused_mesh is not None:
+                m = fused_mlp_sharded(x.astype(self.dtype), w1, b1, w2, b2,
+                                      mesh=self.fused_mesh)
+            else:
+                m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
         else:
             m = nn.Dense(self.intermediate, kernel_init=bert_init,
                          bias_init=torch_bias_init, dtype=self.dtype,
@@ -136,6 +142,7 @@ class ClassificationBert(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
     remat_attn: bool = True
+    fused_mesh: Any = None
 
     @property
     def num_features(self) -> int:
@@ -188,6 +195,7 @@ class ClassificationBert(nn.Module):
             h = BertLayer(self.hidden, self.heads, self.intermediate,
                           dtype=self.dtype, use_fused=self.use_fused_mlp,
                           remat_attn=self.remat_attn,
+                          fused_mesh=self.fused_mesh,
                           name=f"layer{i}")(h, attn_bias, train)
         last_hidden = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last_hidden)
@@ -216,7 +224,7 @@ def _layer_id(names, num_layers):
 
 
 _BERT_FIELDS = ("hidden", "layers", "heads", "intermediate", "max_position",
-                "use_fused_mlp", "remat_attn")
+                "use_fused_mlp", "remat_attn", "fused_mesh")
 
 
 def bert_base_uncased(num_classes: int, dtype=jnp.bfloat16, **kw):

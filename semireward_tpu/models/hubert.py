@@ -62,6 +62,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
     remat_attn: bool = True
+    fused_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -108,12 +109,17 @@ class EncoderLayer(nn.Module):
             # dropout sits AFTER ff2, so the hidden-blocked pallas MLP
             # (ops/fused_mlp.py) applies in training too; param tree
             # identical to the Dense pair
-            from semireward_tpu.ops.fused_mlp import fused_mlp
+            from semireward_tpu.ops.fused_mlp import (fused_mlp,
+                                                      fused_mlp_sharded)
             w1, b1 = DenseParams(self.hidden, self.intermediate,
                                  kernel_init=w_init, name="ff1")()
             w2, b2 = DenseParams(self.intermediate, self.hidden,
                                  kernel_init=w_init, name="ff2")()
-            m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
+            if self.fused_mesh is not None:
+                m = fused_mlp_sharded(x.astype(self.dtype), w1, b1, w2, b2,
+                                      mesh=self.fused_mesh)
+            else:
+                m = fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
         else:
             m = nn.Dense(self.intermediate, kernel_init=w_init,
                          bias_init=torch_bias_init, dtype=self.dtype,
@@ -136,6 +142,7 @@ class ClassificationAudioTransformer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
     remat_attn: bool = True
+    fused_mesh: Any = None
 
     @property
     def num_features(self) -> int:
@@ -186,6 +193,7 @@ class ClassificationAudioTransformer(nn.Module):
             h = EncoderLayer(self.hidden, self.heads, dtype=self.dtype,
                              use_fused=self.use_fused_mlp,
                              remat_attn=self.remat_attn,
+                             fused_mesh=self.fused_mesh,
                              name=f"layer{i}")(h, train)
         last = h.astype(jnp.float32)
         drop = nn.Dropout(0.1, deterministic=not train)(last)
@@ -211,7 +219,7 @@ def _layer_id(names, num_layers):
 def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
     fields = {k: v for k, v in kw.items()
               if k in ("hidden", "layers", "heads", "use_fused_mlp",
-                       "remat_attn")}
+                       "remat_attn", "fused_mesh")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

@@ -43,15 +43,20 @@ class Mlp(nn.Module):
     drop: float = 0.0
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
+    fused_mesh: Any = None  # pure-dp mesh -> shard_map'd kernel
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.use_fused and not (train and self.drop > 0):
             # ONE pallas launch keeps the [rows, hidden] activation in VMEM
             # (ops/fused_mlp.py); param tree identical to the Dense path
-            from semireward_tpu.ops.fused_mlp import fused_mlp
+            from semireward_tpu.ops.fused_mlp import (fused_mlp,
+                                                      fused_mlp_sharded)
             w1, b1 = _DenseParams(x.shape[-1], self.hidden, name="fc1")()
             w2, b2 = _DenseParams(self.hidden, self.out, name="fc2")()
+            if self.fused_mesh is not None:
+                return fused_mlp_sharded(x.astype(self.dtype), w1, b1, w2,
+                                         b2, mesh=self.fused_mesh)
             return fused_mlp(x.astype(self.dtype), w1, b1, w2, b2)
         dense = lambda f, name: nn.Dense(
             f, kernel_init=torch_default_init, bias_init=torch_bias_init,
@@ -169,6 +174,7 @@ class Block(nn.Module):
     remat_mlp: bool = False
     split_qkv: bool = False
     use_fused_mlp: bool = False
+    fused_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -197,6 +203,7 @@ class Block(nn.Module):
         x = x + _drop_path(h.astype(x.dtype), self.drop_path, not train, rng)
         h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                     dtype=self.dtype, use_fused=self.use_fused_mlp,
+                    fused_mesh=self.fused_mesh,
                     name="mlp")(
             ln("norm2")(x).astype(self.dtype), train)
         if self.init_values:
@@ -236,6 +243,7 @@ class VisionTransformer(nn.Module):
     split_qkv: bool = False  # separate q/k/v projections for tensor parallelism
                              # (head-aligned column sharding; see Attention docnote)
     use_fused_mlp: bool = False  # single-launch pallas MLP keeping the 4C hidden
+    fused_mesh: Any = None        # pure-dp mesh: shard_map'd fused MLP
                                  # in VMEM (ops/fused_mlp.py); slightly different
                                  # (more precise) gelu numerics -> opt-in
 
@@ -288,6 +296,7 @@ class VisionTransformer(nn.Module):
                           remat_mlp=self.remat_mlp,
                           split_qkv=self.split_qkv,
                           use_fused_mlp=self.use_fused_mlp,
+                          fused_mesh=self.fused_mesh,
                           name=f"blocks{i}")(x, train)
 
         use_fc_norm = self.global_pool == "avg"

@@ -461,6 +461,75 @@ def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
     return out.reshape(*lead, -1)
 
 
+def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
+                      block_m: int = 256, block_h: Optional[int] = None,
+                      interpret: Optional[bool] = None):
+    """``fused_mlp`` under ``shard_map`` for a pure-data-parallel mesh:
+    the leading (batch) dim of ``x`` shards over ``data_axis``, weights are
+    replicated. pallas_call has no GSPMD partitioning rule, so under a
+    plain pjit a multi-device mesh would all-gather the kernel's operands;
+    this wrapper runs the kernel per-shard on local rows instead. The
+    backward psums dW/db over the data axis inside the shard_map (the
+    mechanical transpose of a replicated input is an unreduced per-shard
+    partial; ``check_rep=False`` is required because pallas defeats the
+    replication checker, so the reduction must be explicit)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    c = x.shape[-1]
+    h = w1.shape[1]
+    if block_h is None and c * h * 12 > _FULL_RESIDENT_BUDGET_BYTES:
+        block_h = _pick_block_h(c, h)
+    if x.shape[0] % mesh.shape[data_axis] != 0:
+        # trace-time fallback: flax init runs a 2-row sample batch, and odd
+        # eval remainders can't shard evenly — run the plain kernel there
+        # (GSPMD gathers its operands; fine off the hot path)
+        return fused_mlp(x, w1, b1, w2, b2, block_m=block_m,
+                         block_h=block_h, interpret=interpret)
+    xspec = PartitionSpec(data_axis, *([None] * (x.ndim - 1)))
+    wspec = PartitionSpec(None, None)
+    bspec = PartitionSpec(None)
+
+    def _local(xl, w1l, b1l, w2l, b2l):
+        return fused_mlp(xl, w1l, b1l, w2l, b2l, block_m=block_m,
+                         block_h=block_h, interpret=interpret)
+
+    @jax.custom_vjp
+    def _sharded(x, w1, b1, w2, b2):
+        return shard_map(_local, mesh=mesh,
+                         in_specs=(xspec, wspec, bspec, wspec, bspec),
+                         out_specs=xspec, check_rep=False)(x, w1, b1, w2, b2)
+
+    def _sharded_fwd(x, w1, b1, w2, b2):
+        return _sharded(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+    def _sharded_bwd(res, g):
+        x, w1, b1, w2, b2 = res
+
+        def _local_bwd(xl, w1l, b1l, w2l, b2l, gl):
+            _, vjp = jax.vjp(
+                lambda a, b, c_, d, e: _local(a, b, c_, d, e), xl, w1l, b1l,
+                w2l, b2l)
+            dx, dw1, db1, dw2, db2 = vjp(gl)
+            # replicated-weight cotangents: reduce the per-shard partials
+            dw1 = jax.lax.psum(dw1, data_axis)
+            db1 = jax.lax.psum(db1, data_axis)
+            dw2 = jax.lax.psum(dw2, data_axis)
+            db2 = jax.lax.psum(db2, data_axis)
+            return dx, dw1, db1, dw2, db2
+
+        return shard_map(
+            _local_bwd, mesh=mesh,
+            in_specs=(xspec, wspec, bspec, wspec, bspec, xspec),
+            out_specs=(xspec, wspec, bspec, wspec, bspec),
+            check_rep=False)(x, w1, b1, w2, b2, g)
+
+    _sharded.defvjp(_sharded_fwd, _sharded_bwd)
+    return _sharded(x, w1, b1, w2, b2)
+
+
 def fused_mlp_available() -> bool:
     if not _HAS_PALLAS:
         return False

@@ -105,6 +105,63 @@ def test_blocked_gradients_match(weights):
                                atol=0.03 * scale)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device(weights):
+    """fused_mlp_sharded (shard_map over a pure-dp mesh, weight-grad psum
+    in the backward) must match the single-device kernel: pure-dp multi-
+    chip runs keep the fused path (core/trainer.py auto rule)."""
+    from semireward_tpu.ops.fused_mlp import fused_mlp_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    x, w1, b1, w2, b2 = weights
+    x3 = x[:32].reshape(8, 4, C)  # leading dim shards over 'data'
+    mesh = mesh_lib.build_mesh((8,), ("data",))
+
+    def loss_sh(a):
+        out = fused_mlp_sharded(x3, *a, mesh=mesh, block_m=16,
+                                interpret=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_1(a):
+        return (fused_mlp(x3.reshape(-1, C), *a, block_m=16,
+                          interpret=True).astype(jnp.float32) ** 2).sum()
+
+    args = (w1, b1, w2, b2)
+    v_sh, g_sh = jax.value_and_grad(loss_sh)(args)
+    v_1, g_1 = jax.value_and_grad(loss_1)(args)
+    np.testing.assert_allclose(float(v_sh), float(v_1), rtol=1e-4)
+    for a, b in zip(g_1, g_sh):
+        # bf16-closeness, not bit-parity: the single kernel quantizes dW to
+        # bf16 once after accumulating ALL rows; the sharded path quantizes
+        # each shard's partial before the psum
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.01 * scale)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_trainer_dp_mesh_uses_sharded_kernel(tmp_path):
+    """Forcing use_fused_mlp on an 8-way pure-dp mesh must wire the
+    shard_map'd kernel (fused_mesh) through the builder and train
+    end-to-end under the GSPMD-jitted step."""
+    import semireward_tpu as st
+
+    cfg = st.get_config(dict(
+        algorithm="fixmatch", dataset="synthetic", net="vit_tiny_patch2_32",
+        num_classes=4, num_labels=8, batch_size=8, uratio=1,
+        eval_batch_size=8, img_size=8, crop_ratio=1.0, ema_m=0.0,
+        num_train_iter=2, num_eval_iter=4, num_log_iter=1, epoch=1,
+        mesh_shape=(8,), save_dir=str(tmp_path)))
+    cfg.extra["use_fused_mlp"] = True
+    cfg.extra["net_kwargs"] = dict(embed_dim=64, depth=1, num_heads=4,
+                                   patch_size=4)
+    tr = st.Trainer(cfg)
+    assert tr.model.use_fused_mlp and tr.model.fused_mesh is not None
+    tr.fit()
+    res = tr.evaluate()
+    assert np.isfinite(res["loss"])
+
+
 def test_blocked_dispatch_choice():
     """ViT-S stays on the full-resident kernels (measured +17% there);
     ViT-B/BERT/HuBERT (C=768, H=3072) must go hidden-blocked — their
