@@ -53,22 +53,21 @@ def main():
     import jax.numpy as jnp
     import semireward_tpu  # noqa: F401
     from bench import build_trainer
-    from semireward_tpu.data.loader import SSLLoader
 
     cfg, trainer = build_trainer(args.mode)
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
-    loader = SSLLoader(trainer.bundle, cfg.batch_size, cfg.ulb_batch_size,
-                       seed=0)
+    loader = trainer._make_loader()  # modality-aware (CV / NLP / audio)
     batches = [trainer._put_batch(next(loader)) for _ in range(8)]
     state = trainer.state
     for i in range(3):
         state, m = trainer._jit_step(state, batches[i % 8])
-    jax.block_until_ready(m["total_loss"])
+    _ = float(m["total_loss"])  # value fetch — block_until_ready can
+    # return before execution completes on this runtime (see bench.py)
 
     jax.profiler.start_trace(args.logdir)
     for i in range(args.steps):
         state, m = trainer._jit_step(state, batches[i % 8])
-    jax.block_until_ready(m["total_loss"])
+    _ = float(m["total_loss"])
     jax.profiler.stop_trace()
 
     files = glob.glob(args.logdir + "/plugins/profile/*/*.trace.json.gz")
