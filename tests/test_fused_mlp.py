@@ -9,7 +9,10 @@ import pytest
 
 from semireward_tpu.ops.fused_mlp import fused_mlp
 
-pytestmark = pytest.mark.quick
+# the cheap closeness/param-tree tests gate in the quick tier; the heavier
+# variants (blocked grads, shard_map, dp-mesh trainer e2e) run in the full
+# suite to keep `pytest -m quick` under ~2 minutes (docs/testing.md)
+quick = pytest.mark.quick
 
 M, C, H = 40, 128, 256  # block_m=16 -> 3 blocks, last one partial
 
@@ -36,6 +39,7 @@ def _fused(x, w1, b1, w2, b2):
                      interpret=True).astype(jnp.float32)
 
 
+@quick
 def test_forward_matches(weights):
     x, w1, b1, w2, b2 = weights
     o_ref = _ref(x, w1, b1, w2, b2)
@@ -45,6 +49,7 @@ def test_forward_matches(weights):
                                atol=0.02 * scale)
 
 
+@quick
 def test_gradients_match(weights):
     x, w1, b1, w2, b2 = weights
     coef = jnp.arange(C, dtype=jnp.float32)
@@ -73,6 +78,7 @@ def _fused_blocked(x, w1, b1, w2, b2):
                      interpret=True).astype(jnp.float32)
 
 
+@quick
 def test_blocked_forward_matches(weights):
     x, w1, b1, w2, b2 = weights
     o_ref = _ref(x, w1, b1, w2, b2)
@@ -162,6 +168,7 @@ def test_trainer_dp_mesh_uses_sharded_kernel(tmp_path):
     assert np.isfinite(res["loss"])
 
 
+@quick
 def test_blocked_dispatch_choice():
     """ViT-S stays on the full-resident kernels (measured +17% there);
     ViT-B/BERT/HuBERT (C=768, H=3072) must go hidden-blocked — their
@@ -184,6 +191,7 @@ def _assert_tree_identical(v0, v1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@quick
 def test_vit_param_tree_identical():
     """The fused-MLP ViT must expose the exact same param pytree (paths,
     shapes, dtypes AND init values) as the Dense path — checkpoints and
@@ -200,6 +208,7 @@ def test_vit_param_tree_identical():
     _assert_tree_identical(v0, v1)
 
 
+@quick
 def test_dinov2_builder_forwards_fused_flag():
     """The Trainer auto-default covers dinov2_* nets — the builder must
     actually forward the flag (it used to swallow **kw silently)."""
@@ -209,6 +218,7 @@ def test_dinov2_builder_forwards_fused_flag():
     assert not dinov2_vitb14(num_classes=3).use_fused_mlp
 
 
+@quick
 def test_bert_param_tree_identical():
     """Same contract for the BERT encoder (HF pretrained grafts must land
     on the fused tree unchanged)."""
@@ -225,6 +235,7 @@ def test_bert_param_tree_identical():
     _assert_tree_identical(v0, v1)
 
 
+@quick
 def test_hubert_param_tree_identical():
     from semireward_tpu.models.hubert import ClassificationAudioTransformer
 
