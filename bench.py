@@ -108,6 +108,32 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             p_cutoff=0.95, num_train_iter=1 << 20, num_eval_iter=1 << 30,
             num_log_iter=1 << 30, data_dir=root, seed=0,
             save_name="bench_nlp", mesh_shape=(-1,)))
+    elif mode == "audio":
+        # usb_audio geometry (reference fixmatch_fsdnoisy_1773_0.yaml:
+        # HuBERT-base, bs=8, uratio=1, 4.0 s @ 16 kHz, AdamW lr 5e-5).
+        # Synthetic pkl corpus; identical shapes/device work to the real one.
+        import os as _os
+        import pickle as _pickle
+
+        root = "/tmp/bench_audio_data"
+        base = _os.path.join(root, "synthaudio")
+        if not _os.path.exists(_os.path.join(base, "train.pkl")):
+            _os.makedirs(base, exist_ok=True)
+            rs = np.random.RandomState(0)
+            for split, count in (("train", 300), ("dev", 32), ("test", 32)):
+                rows = [(rs.randn(16000 + int(rs.randint(48000))
+                                  ).astype(np.float32) * 0.1,
+                         int(rs.randint(10))) for _ in range(count)]
+                with open(_os.path.join(base, f"{split}.pkl"), "wb") as f:
+                    _pickle.dump(rows, f)
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="hubert_base", dataset="synthaudio",
+            num_classes=10, num_labels=40, batch_size=8, uratio=1,
+            eval_batch_size=16, optim="AdamW", lr=5e-5, layer_decay=0.75,
+            weight_decay=5e-4, ema_m=0.0, T=0.5, p_cutoff=0.95,
+            num_train_iter=1 << 20, num_eval_iter=1 << 30,
+            num_log_iter=1 << 30, data_dir=root, seed=0,
+            save_name="bench_audio", mesh_shape=(-1,)))
     elif mode == "large":
         # classic_cv geometry (reference fixmatch_cifar10_40.yaml family):
         # bs=64, uratio=7, WRN-28-2, SGD — the large-batch MXU-friendly case
@@ -224,7 +250,7 @@ def measure_reward_scoring(cfg, trainer, n: int = 200):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["headline", "large", "nlp"],
+    p.add_argument("--mode", choices=["headline", "large", "nlp", "audio"],
                    default="headline")
     p.add_argument("--flat", action="store_true",
                    help="run the raveled-vector optimizer path")
@@ -274,6 +300,17 @@ def main():
             if "embedding" not in jax.tree_util.keystr(p))
         flops_step = vit_step_flops(mm_params, tokens=cfg.max_length,
                                     images=images, hidden=768, layers=12)
+    elif args.mode == "audio":
+        # encoder fwd+bwd at N=199 frames (4.0 s / 16 kHz through the
+        # stride-320 conv stack) + the FROZEN conv feature extractor
+        # (fwd-only: stop_gradient, hubert.py): ~19.7 GFLOP/clip analytic
+        mm_params = sum(
+            x.size for p, x in jax.tree_util.tree_flatten_with_path(
+                trainer.state.params)[0]
+            if "feature_extractor" not in jax.tree_util.keystr(p))
+        flops_step = vit_step_flops(mm_params, tokens=199, images=images,
+                                    hidden=768, layers=12)
+        flops_step += 19.7e9 * images
     else:
         flops_step = vit_step_flops(n_params, tokens=257, images=images,
                                     hidden=384, layers=12)
@@ -346,6 +383,7 @@ def main():
         "headline": "SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)",
         "large": "SSL steps/sec/chip (classic_cv WRN-28-2 FixMatch, bs64 u7)",
         "nlp": "SSL steps/sec/chip (usb_nlp BERT-base FixMatch, bs4 u1 L512)",
+        "audio": "SSL steps/sec/chip (usb_audio HuBERT-base FixMatch, bs8 u1 4s)",
     }[args.mode]
     print(json.dumps({
         "metric": metric,
