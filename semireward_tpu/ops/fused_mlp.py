@@ -473,7 +473,16 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
     mechanical transpose of a replicated input is an unreduced per-shard
     partial; ``check_rep=False`` is required because pallas defeats the
     replication checker, so the reduction must be explicit)."""
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8: top-level shard_map, checker kwarg is check_vma
+        from jax import shard_map as _smap
+
+        def shard_map(f, **kw):
+            return _smap(f, check_vma=False, **kw)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _smap
+
+        def shard_map(f, **kw):
+            return _smap(f, check_rep=False, **kw)
     from jax.sharding import PartitionSpec
 
     if interpret is None:
@@ -500,7 +509,7 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
     def _sharded(x, w1, b1, w2, b2):
         return shard_map(_local, mesh=mesh,
                          in_specs=(xspec, wspec, bspec, wspec, bspec),
-                         out_specs=xspec, check_rep=False)(x, w1, b1, w2, b2)
+                         out_specs=xspec)(x, w1, b1, w2, b2)
 
     def _sharded_fwd(x, w1, b1, w2, b2):
         return _sharded(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
@@ -524,7 +533,7 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
             _local_bwd, mesh=mesh,
             in_specs=(xspec, wspec, bspec, wspec, bspec, xspec),
             out_specs=(xspec, wspec, bspec, wspec, bspec),
-            check_rep=False)(x, w1, b1, w2, b2, g)
+        )(x, w1, b1, w2, b2, g)
 
     _sharded.defvjp(_sharded_fwd, _sharded_bwd)
     return _sharded(x, w1, b1, w2, b2)
