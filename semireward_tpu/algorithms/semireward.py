@@ -97,11 +97,21 @@ class Rewarder(nn.Module):
     softmax over the BATCH-dim concat of projected features and label
     embeddings, weighted-summed to a single 128-vector that is broadcast-added
     to the label embeddings.
+
+    ``per_sample=True`` (beyond-reference, opt-in via ``cfg.sr_per_sample``):
+    the same layers re-read as the per-sample cross-attention the SemiReward
+    paper describes — for each sample the softmax runs over ITS OWN
+    (feature, label-embedding) token pair instead of the batch concat, so
+    the reward depends on the sample's feature, not only its label value.
+    Parameter tree and shapes are identical to the faithful mode (the
+    attention axis is the only change); see DEVIATIONS.md and
+    docs/quality.md for why the faithful form can only filter per LABEL.
     """
 
     label_dim: int
     label_embedding_dim: int = 128
     feature_dim: int = 384
+    per_sample: bool = False
 
     @nn.compact
     def __call__(self, features, label_indices):
@@ -116,14 +126,22 @@ class Rewarder(nn.Module):
                        name="label_embedding")(label_indices)
         emb = nn.LayerNorm(epsilon=1e-5, name="label_norm")(emb)
 
-        cat = jnp.concatenate([f, emb], axis=0)                       # [2B,128]
-        w = jax.nn.softmax(
-            nn.Dense(1, kernel_init=torch_linear_init,
-                     bias_init=torch_bias_init,
-                     name="cross_attention_fc")(cat), axis=0)         # [2B,1]
-        ctx = jnp.sum(w * cat, axis=0)                                # [128]
+        if self.per_sample:
+            pair = jnp.stack([f, emb], axis=1)                        # [B,2,128]
+            w = jax.nn.softmax(
+                nn.Dense(1, kernel_init=torch_linear_init,
+                         bias_init=torch_bias_init,
+                         name="cross_attention_fc")(pair), axis=1)    # [B,2,1]
+            ctx = jnp.sum(w * pair, axis=1)                           # [B,128]
+        else:
+            cat = jnp.concatenate([f, emb], axis=0)                   # [2B,128]
+            w = jax.nn.softmax(
+                nn.Dense(1, kernel_init=torch_linear_init,
+                         bias_init=torch_bias_init,
+                         name="cross_attention_fc")(cat), axis=0)     # [2B,1]
+            ctx = jnp.sum(w * cat, axis=0)[None, :]                   # [1,128]
 
-        h = ctx[None, :] + emb                                        # [B,128]
+        h = ctx + emb                                                 # [B,128]
         h = nn.relu(nn.Dense(256, kernel_init=torch_linear_init,
                              bias_init=torch_bias_init, name="mlp_fc1")(h))
         h = nn.Dense(128, kernel_init=torch_linear_init,
@@ -144,7 +162,8 @@ SR_DEFAULTS = {
 def init_sr_state(cfg, rng) -> SRState:
     ldim = label_dim(cfg.num_classes)
     rewarder = Rewarder(label_dim=ldim, label_embedding_dim=128,
-                        feature_dim=cfg.feature_dim)
+                        feature_dim=cfg.feature_dim,
+                        per_sample=cfg.sr_per_sample)
     generator = Generator(feature_dim=cfg.feature_dim)
     k1, k2 = jax.random.split(rng)
     fdummy = jnp.zeros((2, cfg.feature_dim), jnp.float32)
@@ -169,7 +188,8 @@ def score_pseudo_labels(cfg, sr_state: SRState, feats, labels):
     reward >= mean(reward) filter (srflexmatch.py:99-101). Jit-safe."""
     ldim = label_dim(cfg.num_classes)
     rewarder = Rewarder(label_dim=ldim, label_embedding_dim=128,
-                        feature_dim=cfg.feature_dim)
+                        feature_dim=cfg.feature_dim,
+                        per_sample=cfg.sr_per_sample)
     reward = rewarder.apply({"params": sr_state.rewarder_params}, feats,
                             labels)
     keep = (reward >= reward.mean()).squeeze(-1).astype(jnp.float32)
@@ -194,11 +214,16 @@ class SemiRewardWrapper(Algorithm):
 
     def __init__(self, cfg, data_info=None):
         super().__init__(cfg, data_info)
+        if cfg.sr_per_sample and cfg.is_regression:
+            raise ValueError(
+                "sr_per_sample trains on one-hot class agreement; regression "
+                "tasks keep the faithful (reference) rewarder mode")
         self.base = self.BASE_CLS(cfg, data_info)
         self.BATCH_KEYS = tuple(dict.fromkeys(self.base.BATCH_KEYS + ("idx_ulb",)))
         ldim = label_dim(cfg.num_classes)
         self.rewarder = Rewarder(label_dim=ldim, label_embedding_dim=128,
-                                 feature_dim=cfg.feature_dim)
+                                 feature_dim=cfg.feature_dim,
+                                 per_sample=cfg.sr_per_sample)
         self.generator = Generator(feature_dim=cfg.feature_dim)
         self.adam = build_adam(cfg.sr_lr)
 
@@ -411,9 +436,56 @@ class SemiRewardWrapper(Algorithm):
                                 lambda s: s.replace(max_reward=new_max),
                                 sr_in.replace(max_reward=new_max))
 
+        # ---- beyond-reference per-sample mode (cfg.sr_per_sample) --------
+        # The faithful protocol above trains the rewarder only on
+        # (features, FROZEN-generator-label) pairs, so the label embeddings
+        # it must rank at filter time are never visited (docs/quality.md,
+        # DEVIATIONS.md 15c). This mode keeps the two-stage cadence and the
+        # max_reward bookkeeping but trains on the LABELED batch with real
+        # candidate labels: the true label (target 1) and a uniform random
+        # label (target cos(onehot(c), onehot(y)) = 0.5 unless c == y), and
+        # drops the gen_loss reward->1 pull that would fight the negative
+        # candidates. Classification-only (guarded at init).
+        def ps_train(sr_in: SRState) -> SRState:
+            rand = jax.random.randint(jax.random.fold_in(rng, 7),
+                                      y_lb.shape, 0, C_cls)
+            feats2 = jnp.concatenate([feats_lb, feats_lb], axis=0)
+            cands = jnp.concatenate([y_lb, rand], axis=0)
+            refs = jnp.concatenate([y_lb, y_lb], axis=0)
+            target = cosine_similarity_n(jax.nn.one_hot(cands, C_cls),
+                                         jax.nn.one_hot(refs, C_cls))
+
+            def loss_fn(rew_params):
+                r = self.rewarder.apply({"params": rew_params}, feats2,
+                                        cands)
+                return jnp.mean((r - target) ** 2)
+
+            grads = jax.grad(loss_fn)(sr_in.rewarder_params)
+            updates, new_opt = self.adam.update(grads, sr_in.rewarder_opt,
+                                                sr_in.rewarder_params)
+            return sr_in.replace(
+                rewarder_params=optax.apply_updates(sr_in.rewarder_params,
+                                                    updates),
+                rewarder_opt=new_opt)
+
+        def stage2_ps(sr_in: SRState) -> SRState:
+            reward_mean = self.rewarder.apply(
+                {"params": sr_in.rewarder_params}, feats_u, pl_int).mean()
+            new_max = jnp.maximum(sr_in.max_reward, reward_mean)
+            do_train = jnp.logical_and(step % cfg.N_k == 0,
+                                       step > cfg.start_timing)
+            return jax.lax.cond(
+                do_train,
+                lambda s: ps_train(s).replace(
+                    max_reward=jnp.asarray(-jnp.inf, jnp.float32)),
+                lambda s: s.replace(max_reward=new_max),
+                sr_in.replace(max_reward=new_max))
+
+        s1, s2 = (ps_train, stage2_ps) if cfg.sr_per_sample else (stage1,
+                                                                  stage2)
         new_sr = jax.lax.cond(
             step > 0,
-            lambda s: jax.lax.cond(step >= cfg.start_timing, stage2, stage1, s),
+            lambda s: jax.lax.cond(step >= cfg.start_timing, s2, s1, s),
             lambda s: s,
             sr,
         )

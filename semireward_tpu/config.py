@@ -144,6 +144,12 @@ class Config:
     # are pure recompute. 1 = single forward (identical loss). Set >1 only to
     # mimic reference wall-clock.
     sr_reforward: int = 1
+    # Beyond-reference (opt-in): per-sample reward attention + ground-truth
+    # candidate training for the rewarder. The faithful architecture scores
+    # per LABEL within a batch (batch-shared context, semireward.py:60-66)
+    # and its training never visits real label embeddings — see
+    # docs/quality.md. False = exact reference semantics.
+    sr_per_sample: bool = False
 
     # --- imbalanced suite ---
     imb_algorithm: Optional[str] = None

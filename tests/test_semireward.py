@@ -70,14 +70,15 @@ class TestModules:
         assert np.all(np.asarray(out) >= 0)
 
 
-def _tiny_sr_setup(start_timing=3, N_k=2):
+def _tiny_sr_setup(start_timing=3, N_k=2, **overrides):
     from semireward_tpu.registry import ALGORITHMS, NETS
     from semireward_tpu.core.step import init_train_state, make_train_step
     cfg = get_config(dict(
         algorithm="srfixmatch", net="wrn_28_2", num_classes=10, batch_size=4,
         uratio=1, num_train_iter=64, lr=0.01, optim="SGD", ema_m=0.0,
         img_size=32, start_timing=start_timing, N_k=N_k, feature_dim=128,
-        sr_ema=True, sr_ema_m=0.9, p_cutoff=0.0, compute_dtype="float32"))
+        sr_ema=True, sr_ema_m=0.9, p_cutoff=0.0, compute_dtype="float32",
+        **overrides))
     model = NETS.get("wrn_28_2")(num_classes=10, dtype=jnp.float32)
     alg = ALGORITHMS.get("srfixmatch")(cfg, {"ulb_dest_len": 64})
     state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
@@ -166,3 +167,105 @@ class TestProtocol:
         e1 = jax.tree_util.tree_leaves(
             jax.tree_util.tree_map(np.asarray, state.sr.rewarder_ema_params))
         assert any(not np.array_equal(a, b) for a, b in zip(e0, e1))
+
+
+class TestPerSampleMode:
+    """Beyond-reference opt-in: cfg.sr_per_sample (see DEVIATIONS.md).
+    Default-off mode must stay bit-faithful to the reference; the variant
+    must actually produce feature-dependent (per-sample) rewards."""
+
+    def test_param_tree_identical_across_modes(self):
+        k = jax.random.PRNGKey(0)
+        feats = jax.random.normal(k, (6, 32))
+        labels = jnp.zeros((6,), jnp.int32)
+        shapes = []
+        for ps in (False, True):
+            rew = Rewarder(label_dim=100, feature_dim=32, per_sample=ps)
+            params = rew.init(k, feats, labels)["params"]
+            shapes.append(jax.tree_util.tree_map(lambda a: a.shape, params))
+        assert shapes[0] == shapes[1]
+
+    def test_per_sample_rewards_are_feature_dependent(self):
+        """Faithful mode: same label => identical reward (the class-level
+        limitation documented in docs/quality.md). Per-sample mode: rewards
+        must differ across samples sharing a label."""
+        k = jax.random.PRNGKey(1)
+        feats = jax.random.normal(k, (6, 32))
+        labels = jnp.asarray([2, 2, 2, 5, 5, 5], jnp.int32)
+        ref = Rewarder(label_dim=100, feature_dim=32, per_sample=False)
+        ps = Rewarder(label_dim=100, feature_dim=32, per_sample=True)
+        p0 = ref.init(k, feats, labels)["params"]
+        p1 = ps.init(k, feats, labels)["params"]
+        r0 = np.asarray(ref.apply({"params": p0}, feats, labels)).squeeze(-1)
+        r1 = np.asarray(ps.apply({"params": p1}, feats, labels)).squeeze(-1)
+        np.testing.assert_allclose(r0[0], r0[1])
+        np.testing.assert_allclose(r0[3], r0[5])
+        assert not np.allclose(r1[0], r1[1])
+        assert not np.allclose(r1[3], r1[5])
+
+    def test_per_sample_step_trains_rewarder(self, rs):
+        """The jitted step with sr_per_sample=True must run both stages and
+        move the rewarder params (candidate training on the labeled batch)."""
+        cfg, state, step = _tiny_sr_setup(start_timing=3, N_k=2,
+                                          sr_per_sample=True)
+        r0 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            np.asarray, state.sr.rewarder_params))
+        for _ in range(6):  # crosses start_timing=3 and an N_k boundary
+            state, m = step(state, _batch(rs))
+        r1 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            np.asarray, state.sr.rewarder_params))
+        assert any(not np.array_equal(a, b) for a, b in zip(r0, r1))
+        assert np.isfinite(float(m["total_loss"]))
+
+    def test_learned_per_sample_scorer_separates_pairs(self):
+        """Train the per-sample rewarder with the variant's candidate
+        objective on separable features; it must then score correct
+        (feature, label) pairs above mismatched ones PER SAMPLE within a
+        single mixed batch — the capability the faithful architecture
+        cannot express (docs/quality.md)."""
+        import optax
+        from semireward_tpu.algorithms.semireward import cosine_similarity_n
+
+        C, D, B = 4, 16, 32
+        k = jax.random.PRNGKey(2)
+        protos = jax.random.normal(k, (C, D)) * 3.0
+        rew = Rewarder(label_dim=100, feature_dim=D, per_sample=True)
+        params = rew.init(k, jnp.zeros((2, D)), jnp.zeros((2,), jnp.int32))[
+            "params"]
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt, key):
+            ky, kn, kc = jax.random.split(key, 3)
+            y = jax.random.randint(ky, (B,), 0, C)
+            feats = protos[y] + 0.1 * jax.random.normal(kn, (B, D))
+            cand = jax.random.randint(kc, (B,), 0, C)
+            labels = jnp.concatenate([y, cand])
+            feats2 = jnp.concatenate([feats, feats])
+            refs = jnp.concatenate([y, y])
+            target = cosine_similarity_n(jax.nn.one_hot(labels, C),
+                                         jax.nn.one_hot(refs, C))
+
+            def loss_fn(p):
+                r = rew.apply({"params": p}, feats2, labels)
+                return jnp.mean((r - target) ** 2)
+
+            g = jax.grad(loss_fn)(params)
+            up, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, up), opt
+
+        key = jax.random.PRNGKey(3)
+        for i in range(300):
+            key, k1 = jax.random.split(key)
+            params, opt = train_step(params, opt, k1)
+
+        # one mixed batch: half correct pairs, half shifted labels
+        ky, kn = jax.random.split(jax.random.PRNGKey(4))
+        y = jax.random.randint(ky, (B,), 0, C)
+        feats = protos[y] + 0.1 * jax.random.normal(kn, (B, D))
+        wrong = (y + 1) % C
+        labels = jnp.concatenate([y[: B // 2], wrong[B // 2:]])
+        r = np.asarray(rew.apply({"params": params}, feats, labels)).squeeze(-1)
+        good, bad = r[: B // 2].mean(), r[B // 2:].mean()
+        assert good > bad + 0.1, (good, bad)
