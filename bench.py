@@ -71,7 +71,7 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
 
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
-                  sr_ema: bool = False, fused=None):
+                  sr_ema: bool = False, fused=None, flash: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -167,6 +167,12 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
         # trace work. Default (None) = the Trainer's auto rule: fused on
         # a single TPU chip for ViT nets (measured +17%, NOTES_DEV r3).
         cfg.extra["use_fused_mlp"] = fused
+    if flash:
+        # Pallas flash attention in the training step (ops/attention.py):
+        # for BERT/HuBERT the kernel handles the key padding bias and the
+        # p=0.1 prob dropout in-kernel — A/B arm for the N>=499 long-seq
+        # geometries where the [B,H,N,N] probs tensor dominates HBM traffic
+        cfg.extra["use_flash_attention"] = True
     if sr_reforward > 1:
         # ref-equivalent mode: restore the reference's redundant device
         # work (sr_decay() full backbone re-forwards per stage-2 step,
@@ -266,6 +272,10 @@ def main():
                         "TPU ViT)")
     p.add_argument("--no-fused", dest="fused", action="store_false",
                    help="force the pallas fused MLP OFF (A/B baseline)")
+    p.add_argument("--flash-attn", action="store_true",
+                   help="run the training step with Pallas flash attention "
+                        "(in-kernel padding bias + prob dropout; the "
+                        "long-seq BERT/HuBERT A/B arm)")
     args = p.parse_args()
 
     import os
@@ -280,7 +290,7 @@ def main():
     import semireward_tpu  # noqa: F401
 
     cfg, trainer = build_trainer(args.mode, flat=args.flat,
-                                 fused=args.fused)
+                                 fused=args.fused, flash=args.flash_attn)
     steps_per_sec = measure_steps(trainer, cfg)
     n_chips = jax.device_count()
     sps_chip = steps_per_sec / n_chips

@@ -30,6 +30,7 @@ class BertSelfAttention(nn.Module):
     heads: int
     dtype: Any = jnp.bfloat16
     remat_attn: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
@@ -41,11 +42,20 @@ class BertSelfAttention(nn.Module):
         q = dense("query")(x).reshape(B, L, H, hd)
         k = dense("key")(x).reshape(B, L, H, hd)
         v = dense("value")(x).reshape(B, L, H, hd)
-        # padding bias forces the einsum fallback inside flash_attention;
-        # the blockwise path engages for full-length unmasked batches
+        # the kernel handles the key-only padding bias [B,1,1,L] in-block,
+        # and (with use_flash) applies the p=0.1 prob dropout in-kernel via
+        # a counter-based hash mask regenerated in the backward — see
+        # ops/attention.py module docstring (documented RNG-stream
+        # deviation, DEVIATIONS.md)
         from semireward_tpu.ops.attention import flash_attention
         if not train:
             out = flash_attention(q, k, v, bias=attn_bias)
+        elif self.use_flash:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            out = flash_attention(q, k, v, bias=attn_bias, dropout_rate=0.1,
+                                  dropout_seed=seed)
         elif self.remat_attn:
             # rematerialized attention WITH dropout: unlike ViT (whose
             # attn_drop is 0 in every reference config) BERT always trains
@@ -88,6 +98,7 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
     remat_attn: bool = True
+    use_flash: bool = False
     fused_mesh: Any = None
 
     @nn.compact
@@ -96,6 +107,7 @@ class BertLayer(nn.Module):
                                     param_dtype=jnp.float32, name=n)
         h = BertSelfAttention(self.hidden, self.heads, dtype=self.dtype,
                               remat_attn=self.remat_attn,
+                              use_flash=self.use_flash,
                               name="attention")(x, attn_bias, train)
         h = nn.Dropout(0.1, deterministic=not train)(h)
         x = ln("attention_ln")((x + h).astype(jnp.float32)).astype(self.dtype)
@@ -142,6 +154,7 @@ class ClassificationBert(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
     remat_attn: bool = True
+    use_flash: bool = False
     fused_mesh: Any = None
 
     @property
@@ -195,6 +208,7 @@ class ClassificationBert(nn.Module):
             h = BertLayer(self.hidden, self.heads, self.intermediate,
                           dtype=self.dtype, use_fused=self.use_fused_mlp,
                           remat_attn=self.remat_attn,
+                          use_flash=self.use_flash,
                           fused_mesh=self.fused_mesh,
                           name=f"layer{i}")(h, attn_bias, train)
         last_hidden = h.astype(jnp.float32)
@@ -224,7 +238,7 @@ def _layer_id(names, num_layers):
 
 
 _BERT_FIELDS = ("hidden", "layers", "heads", "intermediate", "max_position",
-                "use_fused_mlp", "remat_attn", "fused_mesh")
+                "use_fused_mlp", "remat_attn", "use_flash", "fused_mesh")
 
 
 def bert_base_uncased(num_classes: int, dtype=jnp.bfloat16, **kw):

@@ -62,6 +62,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused: bool = False
     remat_attn: bool = True
+    use_flash: bool = False
     fused_mesh: Any = None
 
     @nn.compact
@@ -75,7 +76,22 @@ class EncoderLayer(nn.Module):
         q = dense("q")(x).reshape(B, L, H, hd)
         k = dense("k")(x).reshape(B, L, H, hd)
         v = dense("v")(x).reshape(B, L, H, hd)
-        if train and self.remat_attn:
+        if self.use_flash and (train or L >= 128):
+            # blockwise pallas attention (ops/attention.py); in training
+            # the p=0.1 prob dropout runs in-kernel via a counter-hash
+            # mask regenerated in the backward (documented RNG-stream
+            # deviation, DEVIATIONS.md)
+            from semireward_tpu.ops.attention import flash_attention
+            if train:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(key, (1, 1),
+                                          0, jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+                o = flash_attention(q, k, v, dropout_rate=0.1,
+                                    dropout_seed=seed)
+            else:
+                o = flash_attention(q, k, v)
+        elif train and self.remat_attn:
             # remat with in-checkpoint dropout (see models/bert.py
             # BertSelfAttention): avoids storing the f32 probs + mask
             # residuals per layer for the backward
@@ -142,6 +158,7 @@ class ClassificationAudioTransformer(nn.Module):
     dtype: Any = jnp.bfloat16
     use_fused_mlp: bool = False
     remat_attn: bool = True
+    use_flash: bool = False
     fused_mesh: Any = None
 
     @property
@@ -193,6 +210,7 @@ class ClassificationAudioTransformer(nn.Module):
             h = EncoderLayer(self.hidden, self.heads, dtype=self.dtype,
                              use_fused=self.use_fused_mlp,
                              remat_attn=self.remat_attn,
+                             use_flash=self.use_flash,
                              fused_mesh=self.fused_mesh,
                              name=f"layer{i}")(h, train)
         last = h.astype(jnp.float32)
@@ -219,7 +237,7 @@ def _layer_id(names, num_layers):
 def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
     fields = {k: v for k, v in kw.items()
               if k in ("hidden", "layers", "heads", "use_fused_mlp",
-                       "remat_attn", "fused_mesh")}
+                       "remat_attn", "use_flash", "fused_mesh")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

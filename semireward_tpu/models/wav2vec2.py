@@ -16,7 +16,7 @@ from semireward_tpu.models.hubert import (
 def wave2vecv2_base(num_classes: int, dtype=jnp.bfloat16, **kw):
     fields = {k: v for k, v in kw.items()
               if k in ("hidden", "layers", "heads", "use_fused_mlp",
-                       "remat_attn", "fused_mesh")}
+                       "remat_attn", "use_flash", "fused_mesh")}
     if "num_layers" in kw:
         fields["layers"] = kw["num_layers"]
     return ClassificationAudioTransformer(num_classes=num_classes, dtype=dtype,

@@ -7,21 +7,42 @@ online-softmax recurrence (forward saves only the per-row logsumexp), and
 the backward recomputes probabilities blockwise — HBM traffic stays O(N*d)
 in both directions, so the Pallas path is usable in TRAINING too.
 
-Exposed as :func:`flash_attention(q, k, v, bias=None)` with automatic
-fallback to the fused-einsum path when a bias/mask is supplied (the BERT
-padding path), on non-TPU backends, or for tiny sequences.
+Exposed as :func:`flash_attention(q, k, v, bias=None, dropout_rate=...,
+dropout_seed=...)`:
+
+- ``bias`` may be a KEY-ONLY additive bias of shape [B, 1, 1, N] (the BERT
+  padding mask, models/bert.py) — handled inside the kernel. Any other bias
+  shape falls back to the fused-einsum path. The bias is treated as
+  NON-DIFFERENTIABLE (it always derives from an integer attention mask);
+  its cotangent is zero.
+- ``dropout_rate > 0`` applies dropout to the attention probabilities
+  INSIDE the kernel (the reference trains BERT/HuBERT/wav2vec2 with p=0.1
+  on the probs). The mask is a counter-based hash of
+  (batch*head, query-pos, key-pos) mixed with ``dropout_seed``, so the
+  backward kernels regenerate bit-identical masks with zero extra memory.
+  The same stream is reproduced by :func:`attention_keep_mask` (used by
+  the non-Pallas fallback and the tests), so semantics are
+  backend-independent. This is a documented deviation (DEVIATIONS.md):
+  same Bernoulli(keep=1-p) marginal as the reference, different bit
+  stream than torch/jax.random.
+
+Fallback to the fused-einsum path happens when pallas is unavailable, on
+non-TPU backends (unless ``force``), for tiny sequences, or for
+non-key-only biases.
 """
 from __future__ import annotations
 
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 try:  # pallas import is TPU/GPU-gated
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover
@@ -31,14 +52,65 @@ _NEG_INF = -1e30
 
 
 # ---------------------------------------------------------------------------
+# counter-based dropout hash (identical in-kernel and in plain jnp)
+# ---------------------------------------------------------------------------
+
+def _lowbias32(x):
+    """lowbias32 integer hash (uint32 -> uint32); works on jnp arrays both
+    inside pallas kernels and in plain XLA (the fallback/tests)."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> np.uint32(15))
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def _keep_bits(counter_u32, seed_u32):
+    return _lowbias32(_lowbias32(counter_u32) ^ seed_u32)
+
+
+def keep_threshold(dropout_rate: float) -> int:
+    """uint32 comparison threshold for keep_prob = 1 - dropout_rate."""
+    return int(round((1.0 - float(dropout_rate)) * 2.0 ** 32))
+
+
+def attention_keep_mask(seed, BH: int, N: int, np_pad: int, thresh: int):
+    """Full keep mask [BH, N, N] matching the kernel's bit stream exactly
+    (np_pad = the kernel's 128-padded sequence length). Test/fallback use —
+    this materializes what the kernel never does."""
+    seed_u = jnp.asarray(seed, jnp.int32).reshape(()).astype(jnp.uint32)
+    bh = jnp.arange(BH, dtype=jnp.uint32)[:, None, None]
+    qpos = jnp.arange(N, dtype=jnp.uint32)[None, :, None]
+    kpos = jnp.arange(N, dtype=jnp.uint32)[None, None, :]
+    npp = np.uint32(np_pad)
+    counter = (bh * npp + qpos) * npp + kpos
+    return _keep_bits(counter, seed_u) < np.uint32(thresh)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
-                seq_len):
+def _fwd_kernel(*refs, scale, block_k, seq_len, has_bias, thresh, keep_prob,
+                np_pad):
+    i0 = 3 + int(has_bias) + int(thresh > 0)
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    bias_ref = refs[3] if has_bias else None
+    seed_ref = refs[3 + int(has_bias)] if thresh else None
+    o_ref, lse_ref = refs[i0], refs[i0 + 1]
+
     q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
     bq, d = q.shape
     num_kb = pl.cdiv(seq_len, block_k)
+    if thresh:
+        seed_u = seed_ref[0, 0].astype(jnp.uint32)
+        bh_u = pl.program_id(0).astype(jnp.uint32)
+        qi = pl.program_id(1)
+        qpos_u = (qi * bq + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
+        npp = np.uint32(np_pad)
+        inv_keep = np.float32(1.0 / keep_prob)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -48,14 +120,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
                                 preferred_element_type=jnp.float32)
         kpos = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                       (bq, block_k), 1)
+        if has_bias:
+            s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         s = jnp.where(kpos < seq_len, s, _NEG_INF)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
         l_new = l_prev * alpha + p.sum(axis=-1)
+        if thresh:
+            counter = (bh_u * npp + qpos_u) * npp + kpos.astype(jnp.uint32)
+            keep = _keep_bits(counter, seed_u) < np.uint32(thresh)
+            pv = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pv = p
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
@@ -71,8 +152,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
 # backward: dq over q-blocks; (dk, dv) over k-blocks, both recomputing p
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale, block_k, seq_len):
+def _bwd_dq_kernel(*refs, scale, block_k, seq_len, has_bias, thresh,
+                   keep_prob, np_pad):
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    idx = 3
+    bias_ref = refs[idx] if has_bias else None
+    idx += int(has_bias)
+    seed_ref = refs[idx] if thresh else None
+    idx += int(thresh > 0)
+    do_ref, lse_ref, delta_ref, dq_ref = refs[idx:idx + 4]
+
     q = q_ref[0].astype(jnp.float32)                    # [bq, d]
     do = do_ref[0].astype(jnp.float32)
     bq, d = q.shape
@@ -80,6 +169,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     lse = lse_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.float32)    # [bq]
     delta = delta_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.float32)
     num_kb = pl.cdiv(seq_len, block_k)
+    if thresh:
+        seed_u = seed_ref[0, 0].astype(jnp.uint32)
+        bh_u = pl.program_id(0).astype(jnp.uint32)
+        qpos_u = (qi * bq + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
+        npp = np.uint32(np_pad)
+        inv_keep = np.float32(1.0 / keep_prob)
 
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
@@ -88,10 +184,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                                 preferred_element_type=jnp.float32) * scale
         kpos = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
                                                       (bq, block_k), 1)
+        if has_bias:
+            s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
         s = jnp.where(kpos < seq_len, s, _NEG_INF)
         p = jnp.exp(s - lse[:, None])                   # [bq, bk]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if thresh:
+            counter = (bh_u * npp + qpos_u) * npp + kpos.astype(jnp.uint32)
+            keep = _keep_bits(counter, seed_u) < np.uint32(thresh)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta[:, None])
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -101,14 +203,30 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, seq_len):
+def _bwd_dkv_kernel(*refs, scale, block_q, seq_len, has_bias, thresh,
+                    keep_prob, np_pad):
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    idx = 3
+    bias_ref = refs[idx] if has_bias else None
+    idx += int(has_bias)
+    seed_ref = refs[idx] if thresh else None
+    idx += int(thresh > 0)
+    do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs[idx:idx + 5]
+
     k = k_ref[0].astype(jnp.float32)                    # [bk, d]
     v = v_ref[0].astype(jnp.float32)
     bk, d = k.shape
     num_qb = pl.cdiv(seq_len, block_q)
     kidx = pl.program_id(1)
     kpos = kidx * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)[0]
+    if has_bias:
+        kbias = bias_ref[0, 0, :].astype(jnp.float32)   # [bk]
+    if thresh:
+        seed_u = seed_ref[0, 0].astype(jnp.uint32)
+        bh_u = pl.program_id(0).astype(jnp.uint32)
+        kpos_u = kpos.astype(jnp.uint32)
+        npp = np.uint32(np_pad)
+        inv_keep = np.float32(1.0 / keep_prob)
 
     def body(i, carry):
         dk, dv = carry
@@ -118,16 +236,26 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + kbias[None, :]
         # mask padded KEY columns and padded QUERY rows
         s = jnp.where(kpos[None, :] < seq_len, s, _NEG_INF)
         qpos = i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0)[:, 0]
         valid_q = (qpos < seq_len)[:, None]
         p = jnp.exp(s - lse[:, None]) * valid_q          # [bq, bk]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if thresh:
+            counter = ((bh_u * npp + qpos.astype(jnp.uint32)[:, None]) * npp
+                       + kpos_u[None, :])
+            keep = _keep_bits(counter, seed_u) < np.uint32(thresh)
+            pv = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pv = p
+        dv = dv + jax.lax.dot_general(pv, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
@@ -157,11 +285,30 @@ _BQ = 128
 _BK = 128
 
 
-def _fwd_call(qp, kp, vp, scale, seq_len, interpret=False):
+def _extra_inputs(qp, bias, seed, has_bias, thresh, full_bias_spec=True):
+    """(inputs, specs) for the optional bias/seed refs, in kernel order."""
+    BH, Np, _ = qp.shape
+    inputs, specs = [], []
+    if has_bias:
+        inputs.append(bias)
+        if full_bias_spec:
+            specs.append(pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)))
+        else:  # dkv grid: one key block per grid step
+            specs.append(pl.BlockSpec((1, 1, _BK), lambda b, j: (b, 0, j)))
+    if thresh:
+        inputs.append(seed)
+        specs.append(pl.BlockSpec((1, 1), lambda b, i: (0, 0)))
+    return inputs, specs
+
+
+def _fwd_call(qp, kp, vp, bias, seed, scale, seq_len, has_bias, thresh,
+              keep_prob, interpret=False):
     BH, Np, Dp = qp.shape
+    xin, xspec = _extra_inputs(qp, bias, seed, has_bias, thresh)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=_BK,
-                          seq_len=seq_len),
+                          seq_len=seq_len, has_bias=has_bias, thresh=thresh,
+                          keep_prob=keep_prob, np_pad=Np),
         out_shape=(jax.ShapeDtypeStruct((BH, Np, Dp), qp.dtype),
                    jax.ShapeDtypeStruct((BH, 1, Np), jnp.float32)),
         grid=(BH, Np // _BQ),
@@ -169,54 +316,68 @@ def _fwd_call(qp, kp, vp, scale, seq_len, interpret=False):
             pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),
-        ],
+        ] + xspec,
         out_specs=(pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
                    pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0))),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, *xin)
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_bhnd(q, k, v, true_d: int, seq_len: int, interpret: bool = False):
-    """q,k,v: [BH, Np, Dp] (pre-padded). Returns [BH, Np, Dp]."""
-    out, _ = _fwd_call(q, k, v, 1.0 / math.sqrt(true_d), seq_len, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_bhnd(q, k, v, bias, seed, true_d: int, seq_len: int,
+                has_bias: bool, thresh: int, keep_prob: float,
+                interpret: bool = False):
+    """q,k,v: [BH, Np, Dp] (pre-padded); bias: [BH, 1, Np] f32 key bias
+    (unused when has_bias=False); seed: [1,1] int32 (unused when thresh=0).
+    Returns [BH, Np, Dp]. bias is treated as non-differentiable."""
+    out, _ = _fwd_call(q, k, v, bias, seed, 1.0 / math.sqrt(true_d), seq_len,
+                       has_bias, thresh, keep_prob, interpret)
     return out
 
 
-def _flash_fwd(q, k, v, true_d, seq_len, interpret):
-    out, lse = _fwd_call(q, k, v, 1.0 / math.sqrt(true_d), seq_len, interpret)
-    return out, (q, k, v, out, lse)
+def _flash_fwd(q, k, v, bias, seed, true_d, seq_len, has_bias, thresh,
+               keep_prob, interpret):
+    out, lse = _fwd_call(q, k, v, bias, seed, 1.0 / math.sqrt(true_d),
+                         seq_len, has_bias, thresh, keep_prob, interpret)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _flash_bwd(true_d, seq_len, interpret, res, do):
-    q, k, v, out, lse = res
+def _flash_bwd(true_d, seq_len, has_bias, thresh, keep_prob, interpret,
+               res, do):
+    q, k, v, bias, seed, out, lse = res
     BH, Np, Dp = q.shape
     scale = 1.0 / math.sqrt(true_d)
     do = do.astype(q.dtype)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]  # [BH, 1, Np]
 
+    xin_q, xspec_q = _extra_inputs(q, bias, seed, has_bias, thresh)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=_BK,
-                          seq_len=seq_len),
+                          seq_len=seq_len, has_bias=has_bias, thresh=thresh,
+                          keep_prob=keep_prob, np_pad=Np),
         out_shape=jax.ShapeDtypeStruct((BH, Np, Dp), q.dtype),
         grid=(BH, Np // _BQ),
         in_specs=[
             pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),   # q
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),    # k
             pl.BlockSpec((1, Np, Dp), lambda b, i: (b, 0, 0)),    # v
+        ] + xspec_q + [
             pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),   # do
             pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),     # lse
             pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),     # delta
         ],
         out_specs=pl.BlockSpec((1, _BQ, Dp), lambda b, i: (b, i, 0)),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, *xin_q, do, lse, delta)
 
+    xin_k, xspec_k = _extra_inputs(q, bias, seed, has_bias, thresh,
+                                   full_bias_spec=False)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=_BQ,
-                          seq_len=seq_len),
+                          seq_len=seq_len, has_bias=has_bias, thresh=thresh,
+                          keep_prob=keep_prob, np_pad=Np),
         out_shape=(jax.ShapeDtypeStruct((BH, Np, Dp), q.dtype),
                    jax.ShapeDtypeStruct((BH, Np, Dp), q.dtype)),
         grid=(BH, Np // _BK),
@@ -224,6 +385,7 @@ def _flash_bwd(true_d, seq_len, interpret, res, do):
             pl.BlockSpec((1, Np, Dp), lambda b, j: (b, 0, 0)),    # q
             pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),   # k
             pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),   # v
+        ] + xspec_k + [
             pl.BlockSpec((1, Np, Dp), lambda b, j: (b, 0, 0)),    # do
             pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0)),     # lse
             pl.BlockSpec((1, 1, Np), lambda b, j: (b, 0, 0)),     # delta
@@ -231,24 +393,64 @@ def _flash_bwd(true_d, seq_len, interpret, res, do):
         out_specs=(pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0)),
                    pl.BlockSpec((1, _BK, Dp), lambda b, j: (b, j, 0))),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
-    return dq, dk, dv
+    )(q, k, v, *xin_k, do, lse, delta)
+    # bias: always mask-derived, non-differentiable by contract (docstring);
+    # seed is integer -> float0 tangent space
+    dbias = jnp.zeros_like(bias)
+    dseed = np.zeros((1, 1), dtype=jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
 
 
 _flash_bhnd.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, bias=None, interpret=False, force=False):
+def _key_bias_of(bias, B, H, N):
+    """Return [B*H, 1, N] f32 key-only bias, or None if the shape is not a
+    key-only broadcast ([B,1,1,N] / [1,1,1,N] / [B,H,1,N])."""
+    if bias is None or bias.ndim != 4:
+        return None
+    b0, h0, n0, n1 = bias.shape
+    if n0 != 1 or n1 != N or b0 not in (1, B) or h0 not in (1, H):
+        return None
+    kb = jnp.broadcast_to(bias.astype(jnp.float32), (B, H, 1, N))
+    return kb.reshape(B * H, 1, N)
+
+
+def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
+                    dropout_seed=None, interpret=False, force=False):
     """q,k,v: [B, N, H, d]. Returns [B, N, H, d]. Differentiable — the
     backward runs as blockwise Pallas kernels (recompute + logsumexp).
 
-    Falls back to the fused-einsum path when pallas is unavailable, when an
-    additive bias/mask is supplied (the BERT padding path), or when the
-    geometry is too small for 128-tiles to pay off.
+    ``bias``: optional additive attention bias. A key-only bias
+    [B,1,1,N] (the BERT padding mask) runs INSIDE the kernel; any other
+    shape falls back to the fused-einsum path. The bias never receives a
+    gradient (it derives from an integer mask).
+
+    ``dropout_rate``/``dropout_seed``: in-kernel dropout on the attention
+    probabilities (see module docstring). The seed is any int32 scalar (or
+    [1,1] array); the same (seed, geometry) always yields the same mask,
+    so callers must derive a fresh seed per step/layer from their dropout
+    RNG. The fused-einsum fallback applies the SAME hash mask, so the op
+    is backend-independent.
+
+    Falls back to the fused-einsum path when pallas is unavailable, when a
+    non-key-only bias is supplied, or when the geometry is too small for
+    128-tiles to pay off.
     """
     B, N, H, d = q.shape
-    use_pallas = force or (_HAS_PALLAS and bias is None and N >= 128
-                           and jax.default_backend() == "tpu")
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    thresh = keep_threshold(dropout_rate) if dropout_rate > 0.0 else 0
+    keep_prob = 1.0 - dropout_rate
+
+    Np = ((N + _BQ - 1) // _BQ) * _BQ
+    key_bias = _key_bias_of(bias, B, H, N)
+    # the dropout counter (bh*Np + q)*Np + k must fit in uint32
+    drop_ok = thresh == 0 or B * H * Np * Np < 2 ** 32
+    use_pallas = (_HAS_PALLAS and N >= 128 and drop_ok
+                  and (bias is None or key_bias is not None)
+                  and (force or jax.default_backend() == "tpu"))
     if not use_pallas:
         scale = 1.0 / math.sqrt(d)
         s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -256,16 +458,24 @@ def flash_attention(q, k, v, bias=None, interpret=False, force=False):
         if bias is not None:
             s = s + bias
         p = jax.nn.softmax(s, axis=-1)
+        if thresh:
+            keep = attention_keep_mask(dropout_seed, B * H, N, Np, thresh)
+            p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
         return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
-    Np = ((N + _BQ - 1) // _BQ) * _BQ
     Dp = max(((d + 127) // 128) * 128, 128)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(B * H, N, d)
         return _pad_to(_pad_to(x, Np, 1), Dp, 2)
 
-    out = _flash_bhnd(prep(q), prep(k), prep(v), d, N, interpret)
+    has_bias = key_bias is not None
+    bias_arg = (_pad_to(key_bias, Np, 2) if has_bias
+                else jnp.zeros((1, 1, 1), jnp.float32))
+    seed_arg = (jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1) if thresh
+                else jnp.zeros((1, 1), jnp.int32))
+    out = _flash_bhnd(prep(q), prep(k), prep(v), bias_arg, seed_arg,
+                      d, N, has_bias, thresh, keep_prob, interpret)
     out = out[:, :N, :d]
     return out.reshape(B, H, N, d).transpose(0, 2, 1, 3)

@@ -129,3 +129,79 @@ def test_vit_remat_flags_grads_bit_identical(rs):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), g0, g1)
+
+
+class TestFlashWiring:
+    """use_flash reaches BERT/HuBERT attention (ops/attention.py): eval is
+    numerically unchanged (no dropout; the key-bias kernel == einsum), and
+    the training path draws a per-layer hash-dropout seed from the dropout
+    RNG (the fused-einsum fallback on CPU applies the identical stream the
+    TPU kernel generates — see test_flash_attention.py)."""
+
+    _BKW = dict(num_classes=3, hidden=64, heads=4, intermediate=128,
+                max_position=32, dtype=jnp.float32)
+
+    def _bert_batch(self):
+        ids = jnp.arange(2 * 16).reshape(2, 16) % 50
+        mask = jnp.asarray(np.array([[1] * 16, [1] * 9 + [0] * 7]))
+        return {"input_ids": ids, "attention_mask": mask}
+
+    def test_bert_eval_identical_and_train_runs(self):
+        from semireward_tpu.models.bert import ClassificationBert
+
+        batch = self._bert_batch()
+        base = ClassificationBert(layers=2, **self._BKW)
+        flash = ClassificationBert(layers=2, use_flash=True, **self._BKW)
+        v = base.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+        o0 = base.apply(v, batch, train=False)["logits"]
+        o1 = flash.apply(v, batch, train=False)["logits"]
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+        def loss(p):
+            out = flash.apply({"params": p}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out["logits"] ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+        # the seed derives from the dropout rng -> a different rng key
+        # changes the attention-dropout mask and hence the loss
+        l2 = flash.apply({"params": v["params"]}, batch, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(3)})["logits"]
+        l1 = flash.apply({"params": v["params"]}, batch, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)})["logits"]
+        assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 0
+
+    def test_hubert_eval_identical_and_train_runs(self):
+        from semireward_tpu.models.hubert import ClassificationAudioTransformer
+
+        kw = dict(num_classes=3, hidden=64, heads=4, layers=2,
+                  dtype=jnp.float32)
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, 4000),
+                          jnp.float32)
+        base = ClassificationAudioTransformer(**kw)
+        flash = ClassificationAudioTransformer(use_flash=True, **kw)
+        v = base.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, wav, train=False)
+        o0 = base.apply(v, wav, train=False)["logits"]
+        o1 = flash.apply(v, wav, train=False)["logits"]
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+        def loss(p):
+            out = flash.apply({"params": p}, wav, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out["logits"] ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(g))
+
+    def test_builders_accept_use_flash(self):
+        m = NETS.get("bert_base_uncased")(num_classes=2, use_flash=True)
+        assert m.use_flash
+        m = NETS.get("hubert_base")(num_classes=2, use_flash=True)
+        assert m.use_flash
+        m = NETS.get("wave2vecv2_base")(num_classes=2, use_flash=True)
+        assert m.use_flash
