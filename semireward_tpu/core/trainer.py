@@ -109,7 +109,13 @@ class Trainer:
         if cfg.gradient_checkpointing:
             net_kw["remat"] = True
         if cfg.extra.get("use_flash_attention"):
-            net_kw["use_flash"] = True
+            # single chip and pure-dp meshes keep the pallas kernel (the
+            # shard_map'd wrapper, ops/attention.py:flash_attention_sharded);
+            # fsdp/model meshes stay on the XLA einsum attention —
+            # pallas_call has no GSPMD partitioning rule, so GSPMD would
+            # all-gather its operands there
+            if self.mesh is None or jax.device_count() == 1 or pure_dp:
+                net_kw["use_flash"] = True
         fused = cfg.extra.get("use_fused_mlp")
         if fused is None and cfg.net.startswith(
                 ("vit_", "dinov2_", "bert_", "hubert_", "wave2vecv2_")):
@@ -128,8 +134,9 @@ class Trainer:
                                               or pure_dp)
         if fused:
             net_kw["use_fused_mlp"] = True
-            if pure_dp:
-                net_kw["fused_mesh"] = self.mesh
+        if pure_dp and (fused or net_kw.get("use_flash")):
+            # the pure-dp mesh both pallas wrappers shard_map over
+            net_kw["fused_mesh"] = self.mesh
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))
         self.model = builder(num_classes=cfg.num_classes,

@@ -14,6 +14,7 @@ jit sees one shape; masking is additive -inf bias.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,6 +32,7 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     remat_attn: bool = True
     use_flash: bool = False
+    fused_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, attn_bias, train: bool):
@@ -46,16 +48,23 @@ class BertSelfAttention(nn.Module):
         # and (with use_flash) applies the p=0.1 prob dropout in-kernel via
         # a counter-based hash mask regenerated in the backward — see
         # ops/attention.py module docstring (documented RNG-stream
-        # deviation, DEVIATIONS.md)
-        from semireward_tpu.ops.attention import flash_attention
+        # deviation, DEVIATIONS.md). On a pure-dp mesh the shard_map'd
+        # wrapper keeps the pallas kernel (pallas_call has no GSPMD rule).
+        from semireward_tpu.ops.attention import (flash_attention,
+                                                  flash_attention_sharded)
+        if self.fused_mesh is not None:
+            flash = functools.partial(flash_attention_sharded,
+                                      mesh=self.fused_mesh)
+        else:
+            flash = flash_attention
         if not train:
-            out = flash_attention(q, k, v, bias=attn_bias)
+            out = flash(q, k, v, bias=attn_bias)
         elif self.use_flash:
             key = self.make_rng("dropout")
             seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-            out = flash_attention(q, k, v, bias=attn_bias, dropout_rate=0.1,
-                                  dropout_seed=seed)
+            out = flash(q, k, v, bias=attn_bias, dropout_rate=0.1,
+                        dropout_seed=seed)
         elif self.remat_attn:
             # rematerialized attention WITH dropout: unlike ViT (whose
             # attn_drop is 0 in every reference config) BERT always trains
@@ -108,6 +117,7 @@ class BertLayer(nn.Module):
         h = BertSelfAttention(self.hidden, self.heads, dtype=self.dtype,
                               remat_attn=self.remat_attn,
                               use_flash=self.use_flash,
+                              fused_mesh=self.fused_mesh,
                               name="attention")(x, attn_bias, train)
         h = nn.Dropout(0.1, deterministic=not train)(h)
         x = ln("attention_ln")((x + h).astype(jnp.float32)).astype(self.dtype)

@@ -80,17 +80,24 @@ class EncoderLayer(nn.Module):
             # blockwise pallas attention (ops/attention.py); in training
             # the p=0.1 prob dropout runs in-kernel via a counter-hash
             # mask regenerated in the backward (documented RNG-stream
-            # deviation, DEVIATIONS.md)
-            from semireward_tpu.ops.attention import flash_attention
+            # deviation, DEVIATIONS.md). Pure-dp meshes keep the kernel
+            # via the shard_map'd wrapper (pallas_call has no GSPMD rule).
+            import functools
+            from semireward_tpu.ops.attention import (flash_attention,
+                                                      flash_attention_sharded)
+            if self.fused_mesh is not None:
+                flash = functools.partial(flash_attention_sharded,
+                                          mesh=self.fused_mesh)
+            else:
+                flash = flash_attention
             if train:
                 key = self.make_rng("dropout")
                 seed = jax.random.randint(key, (1, 1),
                                           0, jnp.iinfo(jnp.int32).max,
                                           dtype=jnp.int32)
-                o = flash_attention(q, k, v, dropout_rate=0.1,
-                                    dropout_seed=seed)
+                o = flash(q, k, v, dropout_rate=0.1, dropout_seed=seed)
             else:
-                o = flash_attention(q, k, v)
+                o = flash(q, k, v)
         elif train and self.remat_attn:
             # remat with in-checkpoint dropout (see models/bert.py
             # BertSelfAttention): avoids storing the f32 probs + mask

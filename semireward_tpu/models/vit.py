@@ -81,6 +81,7 @@ class Attention(nn.Module):
     use_flash: bool = False
     remat_attn: bool = True
     split_qkv: bool = False
+    fused_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -125,8 +126,14 @@ class Attention(nn.Module):
             # VJP backward — O(N*d) HBM traffic. Opt-in: at USB sequence
             # lengths (<=512) XLA's fused einsum wins (fewer kernel
             # launches); flash pays off for long-sequence stretch configs.
-            from semireward_tpu.ops.attention import flash_attention
-            out = flash_attention(q, k, v)
+            # Pure-dp meshes keep the kernel via the shard_map'd wrapper
+            # (pallas_call has no GSPMD partitioning rule).
+            from semireward_tpu.ops.attention import (flash_attention,
+                                                      flash_attention_sharded)
+            if self.fused_mesh is not None:
+                out = flash_attention_sharded(q, k, v, mesh=self.fused_mesh)
+            else:
+                out = flash_attention(q, k, v)
         elif self.remat_attn and not (train and self.attn_drop > 0):
             # rematerialized einsum attention: without it autodiff stores the
             # f32 [B,H,N,N] softmax probs of every layer for the backward
@@ -192,7 +199,7 @@ class Block(nn.Module):
         h = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
                       self.drop, dtype=self.dtype,
                       use_flash=self.use_flash, remat_attn=self.remat_attn,
-                      split_qkv=self.split_qkv,
+                      split_qkv=self.split_qkv, fused_mesh=self.fused_mesh,
                       name="attn")(
             ln("norm1")(x).astype(self.dtype), train)
         if self.init_values:

@@ -75,12 +75,15 @@ def keep_threshold(dropout_rate: float) -> int:
     return int(round((1.0 - float(dropout_rate)) * 2.0 ** 32))
 
 
-def attention_keep_mask(seed, BH: int, N: int, np_pad: int, thresh: int):
+def attention_keep_mask(seed, BH: int, N: int, np_pad: int, thresh: int,
+                        bh_offset=0):
     """Full keep mask [BH, N, N] matching the kernel's bit stream exactly
-    (np_pad = the kernel's 128-padded sequence length). Test/fallback use —
-    this materializes what the kernel never does."""
+    (np_pad = the kernel's 128-padded sequence length; bh_offset = this
+    shard's global batch*head start under flash_attention_sharded).
+    Test/fallback use — this materializes what the kernel never does."""
     seed_u = jnp.asarray(seed, jnp.int32).reshape(()).astype(jnp.uint32)
-    bh = jnp.arange(BH, dtype=jnp.uint32)[:, None, None]
+    off_u = jnp.asarray(bh_offset, jnp.int32).astype(jnp.uint32)
+    bh = jnp.arange(BH, dtype=jnp.uint32)[:, None, None] + off_u
     qpos = jnp.arange(N, dtype=jnp.uint32)[None, :, None]
     kpos = jnp.arange(N, dtype=jnp.uint32)[None, None, :]
     npp = np.uint32(np_pad)
@@ -105,7 +108,7 @@ def _fwd_kernel(*refs, scale, block_k, seq_len, has_bias, thresh, keep_prob,
     num_kb = pl.cdiv(seq_len, block_k)
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = pl.program_id(0).astype(jnp.uint32)
+        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
         qi = pl.program_id(1)
         qpos_u = (qi * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
@@ -171,7 +174,7 @@ def _bwd_dq_kernel(*refs, scale, block_k, seq_len, has_bias, thresh,
     num_kb = pl.cdiv(seq_len, block_k)
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = pl.program_id(0).astype(jnp.uint32)
+        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
         qpos_u = (qi * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
         npp = np.uint32(np_pad)
@@ -223,7 +226,7 @@ def _bwd_dkv_kernel(*refs, scale, block_q, seq_len, has_bias, thresh,
         kbias = bias_ref[0, 0, :].astype(jnp.float32)   # [bk]
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = pl.program_id(0).astype(jnp.uint32)
+        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
         kpos_u = kpos.astype(jnp.uint32)
         npp = np.uint32(np_pad)
         inv_keep = np.float32(1.0 / keep_prob)
@@ -296,8 +299,8 @@ def _extra_inputs(qp, bias, seed, has_bias, thresh, full_bias_spec=True):
         else:  # dkv grid: one key block per grid step
             specs.append(pl.BlockSpec((1, 1, _BK), lambda b, j: (b, 0, j)))
     if thresh:
-        inputs.append(seed)
-        specs.append(pl.BlockSpec((1, 1), lambda b, i: (0, 0)))
+        inputs.append(seed)  # [1,2] int32: (seed, bh_offset)
+        specs.append(pl.BlockSpec((1, 2), lambda b, i: (0, 0)))
     return inputs, specs
 
 
@@ -329,8 +332,9 @@ def _flash_bhnd(q, k, v, bias, seed, true_d: int, seq_len: int,
                 has_bias: bool, thresh: int, keep_prob: float,
                 interpret: bool = False):
     """q,k,v: [BH, Np, Dp] (pre-padded); bias: [BH, 1, Np] f32 key bias
-    (unused when has_bias=False); seed: [1,1] int32 (unused when thresh=0).
-    Returns [BH, Np, Dp]. bias is treated as non-differentiable."""
+    (unused when has_bias=False); seed: [1,2] int32 (dropout seed,
+    batch*head offset; unused when thresh=0). Returns [BH, Np, Dp]. bias
+    is treated as non-differentiable."""
     out, _ = _fwd_call(q, k, v, bias, seed, 1.0 / math.sqrt(true_d), seq_len,
                        has_bias, thresh, keep_prob, interpret)
     return out
@@ -397,7 +401,7 @@ def _flash_bwd(true_d, seq_len, has_bias, thresh, keep_prob, interpret,
     # bias: always mask-derived, non-differentiable by contract (docstring);
     # seed is integer -> float0 tangent space
     dbias = jnp.zeros_like(bias)
-    dseed = np.zeros((1, 1), dtype=jax.dtypes.float0)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dbias, dseed
 
 
@@ -416,8 +420,28 @@ def _key_bias_of(bias, B, H, N):
     return kb.reshape(B * H, 1, N)
 
 
+def _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed, Np,
+                   bh_offset=0):
+    """The fused-einsum path, applying the IDENTICAL hash-dropout stream
+    the kernel generates (attention_keep_mask)."""
+    B, N, H, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
+    p = jax.nn.softmax(s, axis=-1)
+    if thresh:
+        keep = attention_keep_mask(dropout_seed, B * H, N, Np, thresh,
+                                   bh_offset=bh_offset)
+        p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
+    return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
-                    dropout_seed=None, interpret=False, force=False):
+                    dropout_seed=None, bh_offset=0, interpret=False,
+                    force=False):
     """q,k,v: [B, N, H, d]. Returns [B, N, H, d]. Differentiable — the
     backward runs as blockwise Pallas kernels (recompute + logsumexp).
 
@@ -431,7 +455,10 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
     [1,1] array); the same (seed, geometry) always yields the same mask,
     so callers must derive a fresh seed per step/layer from their dropout
     RNG. The fused-einsum fallback applies the SAME hash mask, so the op
-    is backend-independent.
+    is backend-independent. ``bh_offset`` (int or traced scalar) offsets
+    the batch*head index in the dropout counter — used by
+    :func:`flash_attention_sharded` so a batch-sharded run reproduces the
+    single-device mask stream.
 
     Falls back to the fused-einsum path when pallas is unavailable, when a
     non-key-only bias is supplied, or when the geometry is too small for
@@ -452,17 +479,8 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
                   and (bias is None or key_bias is not None)
                   and (force or jax.default_backend() == "tpu"))
     if not use_pallas:
-        scale = 1.0 / math.sqrt(d)
-        s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        if bias is not None:
-            s = s + bias
-        p = jax.nn.softmax(s, axis=-1)
-        if thresh:
-            keep = attention_keep_mask(dropout_seed, B * H, N, Np, thresh)
-            p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
-        return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
-                          preferred_element_type=jnp.float32).astype(q.dtype)
+        return _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed,
+                              Np, bh_offset=bh_offset)
 
     Dp = max(((d + 127) // 128) * 128, 128)
 
@@ -473,9 +491,78 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
     has_bias = key_bias is not None
     bias_arg = (_pad_to(key_bias, Np, 2) if has_bias
                 else jnp.zeros((1, 1, 1), jnp.float32))
-    seed_arg = (jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1) if thresh
-                else jnp.zeros((1, 1), jnp.int32))
+    if thresh:
+        seed_arg = jnp.stack(
+            [jnp.asarray(dropout_seed, jnp.int32).reshape(()),
+             jnp.asarray(bh_offset, jnp.int32).reshape(())]).reshape(1, 2)
+    else:
+        seed_arg = jnp.zeros((1, 2), jnp.int32)
     out = _flash_bhnd(prep(q), prep(k), prep(v), bias_arg, seed_arg,
                       d, N, has_bias, thresh, keep_prob, interpret)
     out = out[:, :N, :d]
     return out.reshape(B, H, N, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
+                            dropout_seed=None, *, mesh,
+                            data_axis: str = "data", interpret=False,
+                            force=False):
+    """:func:`flash_attention` under ``shard_map`` for a pure-data-parallel
+    mesh: the batch dim of q/k/v (and a per-sample key bias) shards over
+    ``data_axis``. pallas_call has no GSPMD partitioning rule, so under a
+    plain pjit a multi-device mesh would all-gather the kernel's operands
+    (same story as ops/fused_mlp.py:fused_mlp_sharded); this wrapper runs
+    the kernel per-shard on local rows instead. Attention has no
+    cross-batch reduction, so no collectives are needed — each shard's
+    backward is self-contained. The dropout counter is offset by the
+    shard's global batch*head start, so the mask stream is BIT-IDENTICAL
+    to the single-device kernel (asserted in tests)."""
+    try:  # jax >= 0.8: top-level shard_map, checker kwarg is check_vma
+        from jax import shard_map as _smap
+
+        def shard_map(f, **kw):
+            return _smap(f, check_vma=False, **kw)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _smap
+
+        def shard_map(f, **kw):
+            return _smap(f, check_rep=False, **kw)
+    from jax.sharding import PartitionSpec as P
+
+    B, N, H, d = q.shape
+    ndev = mesh.shape[data_axis]
+    key_bias_ok = bias is None or _key_bias_of(bias, B, H, N) is not None
+    if B % ndev != 0 or not key_bias_ok:
+        # trace-time fallback (flax-init sample batches, eval remainders,
+        # exotic biases): the XLA einsum path partitions fine under GSPMD
+        Np = ((N + _BQ - 1) // _BQ) * _BQ
+        thresh = keep_threshold(dropout_rate) if dropout_rate > 0.0 else 0
+        return _xla_attention(q, k, v, bias, thresh, 1.0 - dropout_rate,
+                              dropout_seed, Np)
+    local_B = B // ndev
+
+    qspec = P(data_axis, None, None, None)
+    args = [q, k, v]
+    specs = [qspec, qspec, qspec]
+    has_bias = bias is not None
+    if has_bias:
+        args.append(bias)
+        specs.append(P(data_axis if bias.shape[0] == B else None,
+                       None, None, None))
+    drop = float(dropout_rate) > 0.0
+    if drop:
+        args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1))
+        specs.append(P(None, None))
+
+    def _local(*a):
+        ql, kl, vl = a[:3]
+        bl = a[3] if has_bias else None
+        sl = a[3 + int(has_bias)] if drop else None
+        off = jax.lax.axis_index(data_axis) * (local_B * H)
+        return flash_attention(ql, kl, vl, bias=bl,
+                               dropout_rate=dropout_rate, dropout_seed=sl,
+                               bh_offset=off, interpret=interpret,
+                               force=force)
+
+    return shard_map(_local, mesh=mesh, in_specs=tuple(specs),
+                     out_specs=qspec)(*args)

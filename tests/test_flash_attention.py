@@ -182,3 +182,89 @@ def test_dropout_keep_rate_and_fallback_parity(rs):
     fb = flash_attention(q, k, v, dropout_rate=0.1, dropout_seed=5)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(fb),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_bit_identical_to_single_device(rs):
+    """flash_attention_sharded (shard_map over a pure-dp mesh) must equal
+    the single-device kernel BIT-for-bit, dropout mask included — the
+    bh_offset plumbs each shard's global batch*head start into the hash
+    counter."""
+    from semireward_tpu.ops.attention import flash_attention_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    B, N, H, d = 8, 136, 2, 32
+    q = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    bias, _ = _key_bias(rs, B, N, N - 13)
+    mesh = mesh_lib.build_mesh((8,), ("data",))
+
+    def loss_sh(q, k, v):
+        out = flash_attention_sharded(q, k, v, bias=bias, dropout_rate=0.1,
+                                      dropout_seed=42, mesh=mesh,
+                                      interpret=True, force=True)
+        return (out ** 2).sum(), out
+
+    def loss_1(q, k, v):
+        out = flash_attention(q, k, v, bias=bias, dropout_rate=0.1,
+                              dropout_seed=42, interpret=True, force=True)
+        return (out ** 2).sum(), out
+
+    (l_sh, o_sh), g_sh = jax.value_and_grad(loss_sh, argnums=(0, 1, 2),
+                                            has_aux=True)(q, k, v)
+    (l_1, o_1), g_1 = jax.value_and_grad(loss_1, argnums=(0, 1, 2),
+                                         has_aux=True)(q, k, v)
+    np.testing.assert_array_equal(np.asarray(o_sh), np.asarray(o_1))
+    for a, b in zip(g_sh, g_1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_uneven_batch_falls_back(rs):
+    """flax-init sample batches / eval remainders can't shard evenly — the
+    wrapper must fall back to the GSPMD-partitionable einsum path."""
+    from semireward_tpu.ops.attention import flash_attention_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    B, N, H, d = 3, 136, 2, 32
+    q = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    mesh = mesh_lib.build_mesh((8,), ("data",))
+    out = flash_attention_sharded(q, k, v, mesh=mesh, interpret=True,
+                                  force=True)
+    ref = ref_attn(q, k, v, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_trainer_mesh_gating(tmp_path):
+    """use_flash_attention on an 8-way pure-dp mesh wires the shard_map'd
+    kernel (fused_mesh) and trains; on an fsdp mesh the trainer must KEEP
+    the XLA einsum attention (pallas_call has no GSPMD rule)."""
+    import semireward_tpu as st
+
+    base = dict(
+        algorithm="fixmatch", dataset="synthetic", net="vit_tiny_patch2_32",
+        num_classes=4, num_labels=8, batch_size=8, uratio=1,
+        eval_batch_size=8, img_size=8, crop_ratio=1.0, ema_m=0.0,
+        num_train_iter=2, num_eval_iter=4, num_log_iter=1, epoch=1,
+        save_dir=str(tmp_path))
+    kwargs = dict(embed_dim=64, depth=1, num_heads=4, patch_size=4)
+
+    cfg = st.get_config(dict(mesh_shape=(8,), **base))
+    cfg.extra["use_flash_attention"] = True
+    cfg.extra["net_kwargs"] = dict(kwargs)
+    tr = st.Trainer(cfg)
+    assert tr.model.use_flash and tr.model.fused_mesh is not None
+    tr.fit()
+    assert np.isfinite(tr.evaluate()["loss"])
+
+    cfg2 = st.get_config(dict(mesh_shape=(2, 4),
+                              mesh_axes=("data", "fsdp"), **base))
+    cfg2.extra["use_flash_attention"] = True
+    cfg2.extra["net_kwargs"] = dict(kwargs)
+    tr2 = st.Trainer(cfg2)
+    assert not tr2.model.use_flash
