@@ -253,3 +253,81 @@ def hubert_base(num_classes: int, dtype=jnp.bfloat16, **kw):
 
 hubert_base.layer_id_fn = _layer_id
 hubert_base.num_layers = 13
+
+
+def load_hf_audio_weights(params, state_dict):
+    """Graft a HuggingFace HubertModel / Wav2Vec2Model state_dict
+    (numpy-convertible values) onto this module's param tree — the
+    pretrained-weights path of reference hubert.py:10-21 /
+    wave2vecv2.py:149-160 (`HubertModel.from_pretrained`). Torch conv
+    weights are [out, in/groups, k] -> flax [k, in/groups, out]; linear
+    weights [out, in] -> [in, out]. The positional conv is weight-normed
+    in HF — both storage formats (legacy ``weight_g``/``weight_v`` and
+    torch>=2 ``parametrizations.weight.original0/1``) are recomposed."""
+    import numpy as np
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def put(path, val, t=None):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        val = np.asarray(val, np.float32)
+        if t is not None:
+            val = val.transpose(t)
+        assert node[path[-1]].shape == val.shape, (
+            path, node[path[-1]].shape, val.shape)
+        node[path[-1]] = val
+
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("hubert.", "wav2vec2.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = np.asarray(v)
+
+    for i in range(len(_CONVS)):
+        put(("feature_extractor", f"conv{i}", "kernel"),
+            sd[f"feature_extractor.conv_layers.{i}.conv.weight"], (2, 1, 0))
+    put(("feature_extractor", "gn0", "scale"),
+        sd["feature_extractor.conv_layers.0.layer_norm.weight"])
+    put(("feature_extractor", "gn0", "bias"),
+        sd["feature_extractor.conv_layers.0.layer_norm.bias"])
+    put(("fp_ln", "scale"), sd["feature_projection.layer_norm.weight"])
+    put(("fp_ln", "bias"), sd["feature_projection.layer_norm.bias"])
+    put(("fp_proj", "kernel"), sd["feature_projection.projection.weight"],
+        (1, 0))
+    put(("fp_proj", "bias"), sd["feature_projection.projection.bias"])
+
+    pc = "encoder.pos_conv_embed.conv."
+    if pc + "weight_g" in sd:                      # legacy weight_norm keys
+        g, v = sd[pc + "weight_g"], sd[pc + "weight_v"]
+    else:                                          # torch>=2 parametrization
+        g = sd[pc + "parametrizations.weight.original0"]
+        v = sd[pc + "parametrizations.weight.original1"]
+    # torch weight_norm(conv, dim=2): w = v * g / ||v|| per kernel slice
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=(0, 1),
+                                                   keepdims=True))
+    w = (v * (g / norm)).astype(np.float32)        # [out, in/groups, k]
+    put(("pos_conv", "kernel"), w, (2, 1, 0))
+    put(("pos_conv", "bias"), sd[pc + "bias"])
+    put(("encoder_ln", "scale"), sd["encoder.layer_norm.weight"])
+    put(("encoder_ln", "bias"), sd["encoder.layer_norm.bias"])
+
+    n_layers = sum(1 for k in p if k.startswith("layer")
+                   and k[5:].isdigit())
+    for i in range(n_layers):
+        src = f"encoder.layers.{i}."
+        dst = f"layer{i}"
+        for ours, hf in (("q", "attention.q_proj"), ("k", "attention.k_proj"),
+                         ("v", "attention.v_proj"),
+                         ("out", "attention.out_proj"),
+                         ("ff1", "feed_forward.intermediate_dense"),
+                         ("ff2", "feed_forward.output_dense")):
+            put((dst, ours, "kernel"), sd[src + hf + ".weight"], (1, 0))
+            put((dst, ours, "bias"), sd[src + hf + ".bias"])
+        put((dst, "ln1", "scale"), sd[src + "layer_norm.weight"])
+        put((dst, "ln1", "bias"), sd[src + "layer_norm.bias"])
+        put((dst, "ln2", "scale"), sd[src + "final_layer_norm.weight"])
+        put((dst, "ln2", "bias"), sd[src + "final_layer_norm.bias"])
+    return jax.tree_util.tree_map(jnp.asarray, p)
