@@ -267,3 +267,36 @@ class TestGenuineHFForwardParity:
             ref = hf(torch.tensor(wav)).last_hidden_state.mean(dim=1).numpy()
         np.testing.assert_allclose(np.asarray(feat), ref, rtol=1e-3,
                                    atol=2e-3)
+
+    def test_wav2vec2_encoder_matches_hf(self):
+        """The reference's wav2vec2 path wraps Wav2Vec2Model
+        (wave2vecv2.py:149-160); its classification forward is
+        architecturally identical to HuBERT's, so one shared implementation
+        serves both (models/wav2vec2.py) — proven here against the genuine
+        HF module (whose extra quantizer/masked_spec_embed keys the graft
+        must ignore)."""
+        import torch
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+        from semireward_tpu.models.hubert import load_hf_audio_weights
+        from semireward_tpu.registry import NETS
+        import semireward_tpu  # noqa: F401
+
+        cfg = Wav2Vec2Config(num_hidden_layers=1)
+        torch.manual_seed(0)
+        hf = Wav2Vec2Model(cfg).eval()
+
+        ours = NETS.get("wave2vecv2_base")(num_classes=2, num_layers=1,
+                                           dtype=jnp.float32)
+        wav = np.random.RandomState(2).randn(1, 4000).astype(np.float32) * 0.1
+        v = ours.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      jnp.asarray(wav), train=False)
+        params = load_hf_audio_weights(
+            v["params"], {k: t.detach().numpy()
+                          for k, t in hf.state_dict().items()})
+        feat = ours.apply({"params": params}, jnp.asarray(wav), train=False,
+                          only_feat=True)
+        with torch.no_grad():
+            ref = hf(torch.tensor(wav)).last_hidden_state.mean(dim=1).numpy()
+        np.testing.assert_allclose(np.asarray(feat), ref, rtol=1e-3,
+                                   atol=2e-3)
