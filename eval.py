@@ -14,6 +14,11 @@ def main(argv=None):
     p.add_argument("--net", type=str, default="wrn_28_2")
     p.add_argument("--num_classes", type=int, default=10)
     p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--crop_ratio", type=float, default=0.875)
+    # NLP / audio modality geometry (reference eval.py:33-35)
+    p.add_argument("--max_length", type=int, default=512)
+    p.add_argument("--max_length_seconds", type=float, default=4.0)
+    p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--use_train_model", action="store_true",
                    help="evaluate raw params instead of the EMA shadow")
@@ -30,6 +35,9 @@ def main(argv=None):
         algorithm="fixmatch", net=args.net, dataset=args.dataset,
         data_dir=args.data_dir, num_classes=args.num_classes,
         num_labels=args.num_classes, img_size=args.img_size,
+        crop_ratio=args.crop_ratio, max_length=args.max_length,
+        max_length_seconds=args.max_length_seconds,
+        sample_rate=args.sample_rate,
         eval_batch_size=args.batch_size, num_train_iter=1, num_eval_iter=1,
         save_name="eval"))
     tr = Trainer(cfg, use_mesh=False)
