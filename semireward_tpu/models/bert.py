@@ -14,7 +14,6 @@ jit sees one shape; masking is additive -inf bias.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -49,16 +48,24 @@ class BertSelfAttention(nn.Module):
         # a counter-based hash mask regenerated in the backward — see
         # ops/attention.py module docstring (documented RNG-stream
         # deviation, DEVIATIONS.md). On a pure-dp mesh the shard_map'd
-        # wrapper keeps the pallas kernel (pallas_call has no GSPMD rule).
-        from semireward_tpu.ops.attention import (flash_attention,
-                                                  flash_attention_sharded)
-        if self.fused_mesh is not None:
-            flash = functools.partial(flash_attention_sharded,
-                                      mesh=self.fused_mesh)
-        else:
-            flash = flash_attention
+        # wrapper keeps the pallas kernel (pallas_call has no GSPMD rule);
+        # WITHOUT use_flash the pallas path must never engage — the trainer
+        # leaves use_flash unset on fsdp/model meshes precisely because
+        # pallas_call under GSPMD would all-gather its operands, and that
+        # gate has to hold for eval too.
+        from semireward_tpu.ops.attention import flash_fn
+        flash = flash_fn(self.fused_mesh)
         if not train:
-            out = flash(q, k, v, bias=attn_bias)
+            if self.use_flash:
+                out = flash(q, k, v, bias=attn_bias)
+            else:
+                # default eval: plain XLA einsum, exactly as before round 3
+                att = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                                 preferred_element_type=jnp.float32
+                                 ) * (hd ** -0.5)
+                att = jax.nn.softmax(att + attn_bias, axis=-1)
+                out = jnp.einsum("bhlm,bmhd->blhd", att.astype(self.dtype), v,
+                                 preferred_element_type=jnp.float32)
         elif self.use_flash:
             key = self.make_rng("dropout")
             seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max,

@@ -82,14 +82,8 @@ class EncoderLayer(nn.Module):
             # mask regenerated in the backward (documented RNG-stream
             # deviation, DEVIATIONS.md). Pure-dp meshes keep the kernel
             # via the shard_map'd wrapper (pallas_call has no GSPMD rule).
-            import functools
-            from semireward_tpu.ops.attention import (flash_attention,
-                                                      flash_attention_sharded)
-            if self.fused_mesh is not None:
-                flash = functools.partial(flash_attention_sharded,
-                                          mesh=self.fused_mesh)
-            else:
-                flash = flash_attention
+            from semireward_tpu.ops.attention import flash_fn
+            flash = flash_fn(self.fused_mesh)
             if train:
                 key = self.make_rng("dropout")
                 seed = jax.random.randint(key, (1, 1),
@@ -281,9 +275,13 @@ def load_hf_audio_weights(params, state_dict):
 
     sd = {}
     for k, v in state_dict.items():
-        for pre in ("hubert.", "wav2vec2.", "model."):
-            if k.startswith(pre):
-                k = k[len(pre):]
+        stripped = True
+        while stripped:  # wrapper ckpts can nest, e.g. 'model.hubert.'
+            stripped = False
+            for pre in ("hubert.", "wav2vec2.", "model."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    stripped = True
         sd[k] = np.asarray(v)
 
     for i in range(len(_CONVS)):

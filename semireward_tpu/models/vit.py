@@ -128,12 +128,8 @@ class Attention(nn.Module):
             # launches); flash pays off for long-sequence stretch configs.
             # Pure-dp meshes keep the kernel via the shard_map'd wrapper
             # (pallas_call has no GSPMD partitioning rule).
-            from semireward_tpu.ops.attention import (flash_attention,
-                                                      flash_attention_sharded)
-            if self.fused_mesh is not None:
-                out = flash_attention_sharded(q, k, v, mesh=self.fused_mesh)
-            else:
-                out = flash_attention(q, k, v)
+            from semireward_tpu.ops.attention import flash_fn
+            out = flash_fn(self.fused_mesh)(q, k, v)
         elif self.remat_attn and not (train and self.attn_drop > 0):
             # rematerialized einsum attention: without it autodiff stores the
             # f32 [B,H,N,N] softmax probs of every layer for the backward

@@ -423,20 +423,32 @@ def _key_bias_of(bias, B, H, N):
 def _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed, Np,
                    bh_offset=0):
     """The fused-einsum path, applying the IDENTICAL hash-dropout stream
-    the kernel generates (attention_keep_mask)."""
+    the kernel generates (attention_keep_mask). The dropout case is
+    rematerialized: without jax.checkpoint autodiff would hold the f32
+    [B,H,N,N] probs + keep mask per layer for the backward (~300 MB/layer
+    at L=512) — the residual-free contract the kernel provides must
+    survive the fallback too."""
     B, N, H, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    if bias is not None:
-        s = s + bias
-    p = jax.nn.softmax(s, axis=-1)
+
+    def _body(q, k, v, seed, off):
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            s = s + bias
+        p = jax.nn.softmax(s, axis=-1)
+        if thresh:
+            keep = attention_keep_mask(seed, B * H, N, Np, thresh,
+                                       bh_offset=off)
+            p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
+        return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
     if thresh:
-        keep = attention_keep_mask(dropout_seed, B * H, N, Np, thresh,
-                                   bh_offset=bh_offset)
-        p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
-    return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+        _body = jax.checkpoint(_body)
+        return _body(q, k, v, jnp.asarray(dropout_seed, jnp.int32),
+                     jnp.asarray(bh_offset, jnp.int32))
+    return _body(q, k, v, None, None)
 
 
 def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
@@ -532,7 +544,12 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
     B, N, H, d = q.shape
     ndev = mesh.shape[data_axis]
     key_bias_ok = bias is None or _key_bias_of(bias, B, H, N) is not None
-    if B % ndev != 0 or not key_bias_ok:
+    Np_pad = ((N + _BQ - 1) // _BQ) * _BQ
+    # overflow guard on the GLOBAL counter: the per-shard kernel check sees
+    # only local B, but bh_offset makes the counter global
+    drop_ok = (float(dropout_rate) == 0.0
+               or B * H * Np_pad * Np_pad < 2 ** 32)
+    if B % ndev != 0 or not key_bias_ok or not drop_ok:
         # trace-time fallback (flax-init sample batches, eval remainders,
         # exotic biases): the XLA einsum path partitions fine under GSPMD
         Np = ((N + _BQ - 1) // _BQ) * _BQ
@@ -566,3 +583,12 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
 
     return shard_map(_local, mesh=mesh, in_specs=tuple(specs),
                      out_specs=qspec)(*args)
+
+
+def flash_fn(mesh=None):
+    """The models' single dispatch point: the plain kernel, or the
+    shard_map'd wrapper bound to a pure-dp mesh when one is supplied
+    (core/trainer.py passes it as ``fused_mesh``)."""
+    if mesh is None:
+        return flash_attention
+    return functools.partial(flash_attention_sharded, mesh=mesh)
