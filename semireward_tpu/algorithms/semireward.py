@@ -159,7 +159,15 @@ SR_DEFAULTS = {
 }
 
 
+def _check_sr_mode(cfg):
+    if cfg.sr_per_sample and cfg.is_regression:
+        raise ValueError(
+            "sr_per_sample trains on one-hot class agreement; regression "
+            "tasks keep the faithful (reference) rewarder mode")
+
+
 def init_sr_state(cfg, rng) -> SRState:
+    _check_sr_mode(cfg)
     ldim = label_dim(cfg.num_classes)
     rewarder = Rewarder(label_dim=ldim, label_embedding_dim=128,
                         feature_dim=cfg.feature_dim,
@@ -214,10 +222,7 @@ class SemiRewardWrapper(Algorithm):
 
     def __init__(self, cfg, data_info=None):
         super().__init__(cfg, data_info)
-        if cfg.sr_per_sample and cfg.is_regression:
-            raise ValueError(
-                "sr_per_sample trains on one-hot class agreement; regression "
-                "tasks keep the faithful (reference) rewarder mode")
+        _check_sr_mode(cfg)
         self.base = self.BASE_CLS(cfg, data_info)
         self.BATCH_KEYS = tuple(dict.fromkeys(self.base.BATCH_KEYS + ("idx_ulb",)))
         ldim = label_dim(cfg.num_classes)
@@ -416,25 +421,30 @@ class SemiRewardWrapper(Algorithm):
             return train_rewarder(feats_lb, glab, target, sr_in)
 
         # ---- stage 2: track max reward; train every N_k steps
-        # (srflexmatch.py:163-193)
-        def stage2(sr_in: SRState) -> SRState:
-            reward_mean = self.rewarder.apply(
-                {"params": sr_in.rewarder_params}, feats_u, pl_int).mean()
-            new_max = jnp.maximum(sr_in.max_reward, reward_mean)
+        # (srflexmatch.py:163-193). One scaffold serves both modes: the
+        # reward_mean/max_reward bookkeeping and the N_k cadence are
+        # identical — only the train fn differs (nk_train vs ps_train).
+        def make_stage2(train_fn):
+            def stage2(sr_in: SRState) -> SRState:
+                reward_mean = self.rewarder.apply(
+                    {"params": sr_in.rewarder_params}, feats_u, pl_int).mean()
+                new_max = jnp.maximum(sr_in.max_reward, reward_mean)
+                do_train = jnp.logical_and(step % cfg.N_k == 0,
+                                           step > cfg.start_timing)
+                return jax.lax.cond(
+                    do_train,
+                    lambda s: train_fn(s).replace(
+                        max_reward=jnp.asarray(-jnp.inf, jnp.float32)),
+                    lambda s: s.replace(max_reward=new_max),
+                    sr_in.replace(max_reward=new_max))
+            return stage2
 
-            def nk_train(s: SRState) -> SRState:
-                glab = gen_labels(feats_u)
-                target = cosine_similarity_n(
-                    jax.nn.one_hot(glab, C_cls),
-                    jax.nn.one_hot(jnp.clip(pl_int, 0, C_cls - 1), C_cls))
-                s = train_rewarder(feats_u, glab, target, s)
-                return s.replace(max_reward=jnp.asarray(-jnp.inf, jnp.float32))
-
-            do_train = jnp.logical_and(step % cfg.N_k == 0,
-                                       step > cfg.start_timing)
-            return jax.lax.cond(do_train, nk_train,
-                                lambda s: s.replace(max_reward=new_max),
-                                sr_in.replace(max_reward=new_max))
+        def nk_train(s: SRState) -> SRState:
+            glab = gen_labels(feats_u)
+            target = cosine_similarity_n(
+                jax.nn.one_hot(glab, C_cls),
+                jax.nn.one_hot(jnp.clip(pl_int, 0, C_cls - 1), C_cls))
+            return train_rewarder(feats_u, glab, target, s)
 
         # ---- beyond-reference per-sample mode (cfg.sr_per_sample) --------
         # The faithful protocol above trains the rewarder only on
@@ -468,21 +478,8 @@ class SemiRewardWrapper(Algorithm):
                                                     updates),
                 rewarder_opt=new_opt)
 
-        def stage2_ps(sr_in: SRState) -> SRState:
-            reward_mean = self.rewarder.apply(
-                {"params": sr_in.rewarder_params}, feats_u, pl_int).mean()
-            new_max = jnp.maximum(sr_in.max_reward, reward_mean)
-            do_train = jnp.logical_and(step % cfg.N_k == 0,
-                                       step > cfg.start_timing)
-            return jax.lax.cond(
-                do_train,
-                lambda s: ps_train(s).replace(
-                    max_reward=jnp.asarray(-jnp.inf, jnp.float32)),
-                lambda s: s.replace(max_reward=new_max),
-                sr_in.replace(max_reward=new_max))
-
-        s1, s2 = (ps_train, stage2_ps) if cfg.sr_per_sample else (stage1,
-                                                                  stage2)
+        s1, s2 = ((ps_train, make_stage2(ps_train)) if cfg.sr_per_sample
+                  else (stage1, make_stage2(nk_train)))
         new_sr = jax.lax.cond(
             step > 0,
             lambda s: jax.lax.cond(step >= cfg.start_timing, s2, s1, s),
