@@ -529,16 +529,7 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
     backward is self-contained. The dropout counter is offset by the
     shard's global batch*head start, so the mask stream is BIT-IDENTICAL
     to the single-device kernel (asserted in tests)."""
-    try:  # jax >= 0.8: top-level shard_map, checker kwarg is check_vma
-        from jax import shard_map as _smap
-
-        def shard_map(f, **kw):
-            return _smap(f, check_vma=False, **kw)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _smap
-
-        def shard_map(f, **kw):
-            return _smap(f, check_rep=False, **kw)
+    from semireward_tpu.ops._compat import shard_map_no_check as shard_map
     from jax.sharding import PartitionSpec as P
 
     B, N, H, d = q.shape

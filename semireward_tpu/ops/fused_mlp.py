@@ -316,7 +316,8 @@ def _bwd_dw_kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
         db2_ref[...] += g.astype(jnp.float32).sum(axis=0, keepdims=True)
 
 
-def _bwd_blocked(x, w1, b1, w2, g, *, block_m, block_h, interpret):
+def _bwd_blocked(x, w1, b1, w2, g, *, block_m, dw_block_m, block_h,
+                 interpret):
     m, c = x.shape
     h = w1.shape[1]
     nj = h // block_h
@@ -336,15 +337,22 @@ def _bwd_blocked(x, w1, b1, w2, g, *, block_m, block_h, interpret):
         scratch_shapes=[pltpu.VMEM((block_m, c), jnp.float32)],
         interpret=interpret,
     )(x, w1, b1, w2, g)
+    # the dW launch holds x/g/u/h/dh row buffers ON TOP of both weight
+    # slices and f32 accumulators — at row block 512 / bh=768 its scoped
+    # VMEM peaks ~16.75 MB (over the 16 MB stack limit inside a full
+    # train-step program, measured on v5e), so it gets its own (smaller)
+    # row block; fwd/dx keep the larger one and fetch the weight slices
+    # half as often
+    ni_dw = pl.cdiv(m, dw_block_m)
     dw1, dw2, db1, db2 = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, m=m),
-        grid=(nj, ni),
+        grid=(nj, ni_dw),
         in_specs=[
-            pl.BlockSpec((block_m, c), lambda j, i: (i, 0)),
+            pl.BlockSpec((dw_block_m, c), lambda j, i: (i, 0)),
             pl.BlockSpec((c, block_h), lambda j, i: (0, j)),
             pl.BlockSpec((1, block_h), lambda j, i: (0, j)),
             pl.BlockSpec((block_h, c), lambda j, i: (j, 0)),
-            pl.BlockSpec((block_m, c), lambda j, i: (i, 0)),
+            pl.BlockSpec((dw_block_m, c), lambda j, i: (i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((c, block_h), lambda j, i: (0, j)),
@@ -363,23 +371,26 @@ def _bwd_blocked(x, w1, b1, w2, g, *, block_m, block_h, interpret):
     return dx, dw1, dw2, db1, db2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_mlp_blocked(x2d, w1, b1, w2, b2, block_m, block_h, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_mlp_blocked(x2d, w1, b1, w2, b2, block_m, dw_block_m, block_h,
+                       interpret):
     return _fwd_blocked(x2d, w1, b1, w2, b2, block_m=block_m,
                         block_h=block_h, interpret=interpret)
 
 
-def _fused_mlp_blocked_fwd(x2d, w1, b1, w2, b2, block_m, block_h, interpret):
+def _fused_mlp_blocked_fwd(x2d, w1, b1, w2, b2, block_m, dw_block_m,
+                           block_h, interpret):
     out = _fwd_blocked(x2d, w1, b1, w2, b2, block_m=block_m,
                        block_h=block_h, interpret=interpret)
     return out, (x2d, w1, b1, w2)
 
 
-def _fused_mlp_blocked_bwd(block_m, block_h, interpret, res, g):
+def _fused_mlp_blocked_bwd(block_m, dw_block_m, block_h, interpret, res, g):
     x2d, w1, b1, w2 = res
     dx, dw1, dw2, db1, db2 = _bwd_blocked(
         x2d, w1, b1, w2, g.astype(x2d.dtype),
-        block_m=block_m, block_h=block_h, interpret=interpret)
+        block_m=block_m, dw_block_m=dw_block_m, block_h=block_h,
+        interpret=interpret)
     return dx, dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2
 
 
@@ -448,14 +459,26 @@ def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
     x2d = x.reshape(-1, c)
     args = (x2d, w1.astype(dt), b1.astype(jnp.float32).reshape(1, -1),
             w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1))
+    if block_h is not None and h % block_h != 0:
+        # a non-divisor would silently truncate the hidden dim (the grid
+        # floors h // block_h and the last partial block never runs)
+        raise ValueError(f"block_h={block_h} must divide hidden dim {h}")
     if block_h is None and c * h * 12 > _FULL_RESIDENT_BUDGET_BYTES:
         block_h = _pick_block_h(c, h)
+        if block_h is None:
+            # no 128-aligned divisor tiles this hidden dim, and the
+            # dispatch just established the full-resident kernels are over
+            # budget — keep the XLA two-Dense path instead of overflowing
+            # VMEM (matches the models' Dense semantics: bf16 matmuls,
+            # exact gelu)
+            hid = jax.nn.gelu(x2d @ args[1] + args[2].astype(dt),
+                              approximate=False)
+            return (hid @ args[3] + args[4].astype(dt)).reshape(*lead, -1)
     if block_h is not None and block_h < h:
-        # smaller row blocks: the dW launch holds x/g/u/h/dh row buffers ON
-        # TOP of both weight slices and f32 accumulators — at block_m=512 /
-        # bh=768 its scoped VMEM peaks ~16.75 MB (over the 16 MB stack
-        # limit inside a full train-step program, measured on v5e)
-        out = _fused_mlp_blocked(*args, min(block_m, 256), block_h, interpret)
+        # the dW launch gets a smaller row block (VMEM peak, see
+        # _bwd_blocked); fwd/dx keep block_m
+        out = _fused_mlp_blocked(*args, block_m, min(block_m, 256),
+                                 block_h, interpret)
     else:
         out = _fused_mlp(*args, block_m, interpret)
     return out.reshape(*lead, -1)
@@ -473,24 +496,13 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
     mechanical transpose of a replicated input is an unreduced per-shard
     partial; ``check_rep=False`` is required because pallas defeats the
     replication checker, so the reduction must be explicit)."""
-    try:  # jax >= 0.8: top-level shard_map, checker kwarg is check_vma
-        from jax import shard_map as _smap
-
-        def shard_map(f, **kw):
-            return _smap(f, check_vma=False, **kw)
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _smap
-
-        def shard_map(f, **kw):
-            return _smap(f, check_rep=False, **kw)
+    from semireward_tpu.ops._compat import shard_map_no_check as shard_map
     from jax.sharding import PartitionSpec
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    c = x.shape[-1]
-    h = w1.shape[1]
-    if block_h is None and c * h * 12 > _FULL_RESIDENT_BUDGET_BYTES:
-        block_h = _pick_block_h(c, h)
+    # block_h passes through unresolved: the inner fused_mlp derives the
+    # identical value from the replicated weight shapes
     if x.shape[0] % mesh.shape[data_axis] != 0:
         # trace-time fallback: flax init runs a 2-row sample batch, and odd
         # eval remainders can't shard evenly — run the plain kernel there

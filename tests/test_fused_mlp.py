@@ -246,3 +246,35 @@ def test_hubert_param_tree_identical():
     v1 = ClassificationAudioTransformer(use_fused_mlp=True, **kw).init(
         {"params": jax.random.PRNGKey(0)}, x, train=False)
     _assert_tree_identical(v0, v1)
+
+
+@quick
+def test_non_divisor_block_h_rejected(weights):
+    """A block_h that does not divide H would silently truncate the hidden
+    dim (the grid floors h // block_h) — must raise instead."""
+    x, w1, b1, w2, b2 = weights
+    with pytest.raises(ValueError, match="block_h"):
+        fused_mlp(x, w1, b1, w2, b2, block_h=w1.shape[1] // 2 + 1,
+                  interpret=True)
+
+
+@quick
+def test_untileable_hidden_falls_back_to_xla(rs):
+    """Over-VMEM-budget geometry whose hidden dim has no 128-aligned
+    divisor (_pick_block_h -> None): the full-resident kernels cannot fit
+    either, so the dispatch must take the XLA two-Dense path and stay
+    numerically correct (previously it fell through to the full-resident
+    kernel, guaranteed VMEM overflow on a real chip)."""
+    c, h = 1024, 2000
+    x = jnp.asarray(rs.randn(8, c), jnp.bfloat16)
+    w1 = jnp.asarray(rs.randn(c, h) * 0.03, jnp.float32)
+    b1 = jnp.asarray(rs.randn(h) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rs.randn(h, c) * 0.03, jnp.float32)
+    b2 = jnp.asarray(rs.randn(c) * 0.1, jnp.float32)
+    out = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+    dt = x.dtype
+    hid = jax.nn.gelu(x @ w1.astype(dt) + b1.astype(dt), approximate=False)
+    ref = hid @ w2.astype(dt) + b2.astype(dt)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2,
+                               atol=2e-2)
