@@ -30,8 +30,8 @@ IMB_METHODS = ["saw", "debiaspl", "abc"]
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--round", type=int, default=2)
-    p.add_argument("--iters", type=int, default=300)
+    p.add_argument("--round", type=int, default=3)
+    p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--sr_iters", type=int, default=500)
     p.add_argument("--imb_iters", type=int, default=400)
     p.add_argument("--skip_imb", action="store_true")
@@ -96,13 +96,20 @@ def main():
     # 2) SemiReward under pseudo-label noise + the downweighting control
     sr = sr_noise_experiment(noise_frac=0.4, iters=args.sr_iters,
                              start_timing=120, seed=args.seed)
-    # control: same noisy flexmatch with lambda_u scaled to SR's observed
-    # keep rate — distinguishes "reward selects good labels" from "reward
-    # filter merely downweights the unsup loss"
+    # control: same noisy flexmatch with lambda_u set to SR's MEASURED
+    # count-weighted keep rate from the run above — distinguishes "reward
+    # selects good labels" from "reward filter merely downweights the
+    # unsup loss" (a hardcoded 0.33 would misattribute the two whenever
+    # the run's keep rate drifts from it)
+    import numpy as _np
+    _keep = _np.asarray(sr["per_label_keep_rate"], float)
+    _cnt = _np.asarray(sr["per_label_count"], float)
+    lam = float((_keep * _cnt).sum() / max(_cnt.sum(), 1.0))
+    sr["control_lambda_u"] = lam
     from semireward_tpu.validation import make_noisy_flexmatch
     NoisyFlex, _ = make_noisy_flexmatch(0.4)
     ctrl = run_golden("flexmatch", alg_factory=lambda c, d: NoisyFlex(c, d),
-                      iters=args.sr_iters, lambda_u=0.33,
+                      iters=args.sr_iters, lambda_u=lam,
                       seed=args.seed)["acc"]
     sr["control_downweighted_acc"] = ctrl
     report["semireward_noise"] = sr
@@ -128,8 +135,6 @@ def main():
             print(f"[golden] imb {m}: {json.dumps(out, default=float)}")
         report["imbalanced"] = imb
 
-    suffix = f"_seed{args.seed}" if args.seed else ""
-    out_path = f"QUALITY_r{args.round:02d}{suffix}.json"
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, default=float)
     print(f"wrote {out_path}")
@@ -166,8 +171,12 @@ def _seed_section(report, rnd):
     if not sibs:
         return []
     alts = [json.load(open(s)) for s in sibs]
-    # never double-count the report itself if it IS a seed file
-    alts = [a for a in alts if a.get("seed") != report.get("seed")]
+    # never double-count the report itself if it IS a seed file, and never
+    # mix horizons: a sibling produced with a different --iters is a
+    # different experiment (curriculum families are known to flip sign
+    # between 300 and 1000 iters), not another seed column
+    alts = [a for a in alts if a.get("seed") != report.get("seed")
+            and a.get("iters") == report.get("iters")]
     reports = [report] + alts
     seeds = [r["seed"] for r in reports]
     lines = ["", "## Seed robustness",
@@ -259,7 +268,9 @@ def _sr_section(report):
             f"downweighted to SR's keep rate): {ctrl:.4f}",
             f"- rank correlation of per-label mean reward vs per-label "
             f"pair accuracy: Spearman "
-            f"{sr.get('spearman_reward_vs_accuracy', float('nan')):+.3f}",
+            f"{sr.get('spearman_reward_vs_accuracy', float('nan')):+.3f}"
+            f" (tie-corrected average ranks over occupied labels, "
+            f"validation.py:_spearman)",
             "",
             "Mechanism note (VERDICT r2 item 2): the reference Rewarder "
             "computes ONE batch-shared context vector; per-sample reward = "
@@ -323,10 +334,11 @@ def _collapse_section():
     if not _os.path.exists(path):
         return []
     d = json.load(open(path))
-    lines = ["", "## Collapse audits (round-2 task, seed 2)",
+    seed = d.get("seed", 2)
+    lines = ["", f"## Collapse audits (round-2 task, seed {seed})",
              "",
              f"The round-2 golden task showed freematch and defixmatch at "
-             f"chance (4 classes) at seed 2 only. Reruns with dense "
+             f"chance (4 classes) at seed {seed} only. Reruns with dense "
              f"loss/threshold traces ({path.rsplit('/', 1)[-1]}, "
              f"{d['iters']} iters):"]
     fm = d.get("freematch")
@@ -394,11 +406,13 @@ def _collapse_section():
         if fm2:
             tr = fm2["trace"]
             full = sum(1 for r in tr if r.get("util_ratio") == 1.0)
+            obase = od.get("labeled_only_acc", 0.754)
             lines += [
                 "",
-                f"**freematch on the round-3 orbit task** (seed 2, "
+                f"**freematch on the round-3 orbit task** (seed "
+                f"{od.get('seed', 2)}, "
                 f"{od['iters']} iters, final acc {fm2['final_acc']:.3f} "
-                f"vs 0.754 labeled-only): same cold-start signature — "
+                f"vs {obase:.3f} labeled-only): same cold-start signature — "
                 f"util_ratio 1.0 at {full}/{len(tr)} logged steps, time_p "
                 f"{tr[0].get('time_p', float('nan')):.3f} -> "
                 f"{tr[-1].get('time_p', float('nan')):.3f} — but with 6 "
@@ -407,6 +421,27 @@ def _collapse_section():
                 f"full-weight-from-step-one dynamic, milder.",
             ]
     return lines
+
+
+def _preserved_blocks():
+    """Hand-maintained analysis blocks in docs/quality.md (between
+    `<!-- BEGIN HAND-MAINTAINED -->` / `<!-- END HAND-MAINTAINED -->`
+    markers, e.g. the per-sample-mode section whose numbers come from
+    QUALITY_r03_sr_per_sample.json rather than this sweep) survive
+    regeneration verbatim instead of being silently dropped."""
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "docs", "quality.md")
+    if not _os.path.exists(path):
+        return []
+    out, keeping = [], False
+    for line in open(path).read().splitlines():
+        if line.strip() == "<!-- BEGIN HAND-MAINTAINED -->":
+            keeping = True
+        if keeping:
+            out.append(line)
+        if line.strip() == "<!-- END HAND-MAINTAINED -->":
+            keeping = False
+    return ([""] + out) if out else []
 
 
 def _write_md(report, rnd):
@@ -458,6 +493,7 @@ def _write_md(report, rnd):
                   "weight — faithful reference behavior (parity-tested), "
                   "costly on short runs."]
     lines += _sr_section(report)
+    lines += _preserved_blocks()
     if "imbalanced" in report:
         lines += ["", "## Imbalanced tier (γ=10 long-tailed split)", "",
                   "| method | base balanced-acc | +method | gain |",

@@ -140,11 +140,28 @@ def make_noisy_flexmatch(noise_frac: float, classes=None, shift: int = 1):
     return NoisyFlexMatch, SRNoisyFlexMatch
 
 
+def _rank(x):
+    """Average ranks for ties (the keep-rate vectors are tie-heavy — four
+    exact 0.0s in a 6-class probe — and argsort-of-argsort would assign
+    them arbitrary index-order ranks, making the correlation depend on
+    which class indices happen to be polluted)."""
+    x = np.asarray(x, np.float64)
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty_like(x)
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and x[order[j + 1]] == x[order[i]]:
+            j += 1
+        ranks[order[i:j + 1]] = 0.5 * (i + j)
+        i = j + 1
+    return ranks
+
+
 def _spearman(a, b) -> float:
-    """Spearman rank correlation (no scipy dependency)."""
-    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-    ra = np.argsort(np.argsort(a)).astype(np.float64)
-    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    """Spearman rank correlation with tie-corrected (average) ranks (no
+    scipy dependency)."""
+    ra, rb = _rank(a), _rank(b)
     ra -= ra.mean()
     rb -= rb.mean()
     den = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
