@@ -85,7 +85,9 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
 
         root = "/tmp/bench_nlp_data"
         base = _os.path.join(root, "synthnlp")
-        if not _os.path.exists(_os.path.join(base, "train.json")):
+        if not _os.path.exists(_os.path.join(base, "_complete")):
+            # marker written LAST: an interrupted generation regenerates
+            # instead of leaving a truncated corpus every later run trusts
             import json as _json
 
             _os.makedirs(base, exist_ok=True)
@@ -100,6 +102,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                                  "aug_1": text + " b", "label": y}
                 with open(_os.path.join(base, f"{split}.json"), "w") as f:
                     _json.dump(d, f)
+            open(_os.path.join(base, "_complete"), "w").close()
         cfg = get_config(dict(
             algorithm="fixmatch", net="bert_base_uncased", dataset="synthnlp",
             num_classes=2, num_labels=40, batch_size=4, uratio=1,
@@ -117,7 +120,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
 
         root = "/tmp/bench_audio_data"
         base = _os.path.join(root, "synthaudio")
-        if not _os.path.exists(_os.path.join(base, "train.pkl")):
+        if not _os.path.exists(_os.path.join(base, "_complete")):
             _os.makedirs(base, exist_ok=True)
             rs = np.random.RandomState(0)
             for split, count in (("train", 300), ("dev", 32), ("test", 32)):
@@ -126,6 +129,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                          int(rs.randint(10))) for _ in range(count)]
                 with open(_os.path.join(base, f"{split}.pkl"), "wb") as f:
                     _pickle.dump(rows, f)
+            open(_os.path.join(base, "_complete"), "w").close()
         cfg = get_config(dict(
             algorithm="fixmatch", net="hubert_base", dataset="synthaudio",
             num_classes=10, num_labels=40, batch_size=8, uratio=1,
@@ -366,7 +370,14 @@ def main():
             # tunnel RTT that the reference's local .item() does not, so
             # folding them in would overstate the ratio.
             del trainer  # free the chip before the second program
-            cfg_r, trainer_r = build_trainer("headline", sr_reforward=8)
+            trainer = None
+            # forward the A/B flags: the baseline must differ from the
+            # measured step ONLY by the restored reference work, or the
+            # ratio conflates e.g. the fused-MLP effect with it
+            cfg_r, trainer_r = build_trainer("headline", sr_reforward=8,
+                                             flat=args.flat,
+                                             fused=args.fused,
+                                             flash=args.flash_attn)
             ref_sps = measure_steps(trainer_r, cfg_r, n_steps=100) / n_chips
             ref_sps_sync = measure_steps(trainer_r, cfg_r, n_steps=50,
                                          host_fetch=True) / n_chips
@@ -394,7 +405,13 @@ def main():
                 "syncs -> lower bound on the true ratio")
 
         if args.sr_ema:
-            cfg_e, trainer_e = build_trainer("headline", sr_ema=True)
+            if trainer is not None:
+                del trainer  # free the chip (skip-ref-equivalent path)
+                trainer = None
+            cfg_e, trainer_e = build_trainer("headline", sr_ema=True,
+                                             flat=args.flat,
+                                             fused=args.fused,
+                                             flash=args.flash_attn)
             extras["sr_ema_steps_per_sec"] = round(
                 measure_steps(trainer_e, cfg_e) / n_chips, 3)
             del trainer_e

@@ -25,7 +25,7 @@ def categorize(name: str) -> str:
         return "convert+reduce(f32 grad accum)"
     if "conv" in n and "convert" not in n:
         return "conv"
-    if "dot" in n or "dosort" not in n and "matmul" in n:
+    if ("dot" in n or "matmul" in n) and "sort" not in n:
         return "matmul"
     if n.startswith("copy") or ".copy" in n or "copy-start" in n \
             or "copy-done" in n:
@@ -45,9 +45,12 @@ def categorize(name: str) -> str:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--mode", default="headline")
+    p.add_argument("--mode", default="headline",
+                   choices=["headline", "large", "nlp", "audio"])
     p.add_argument("--logdir", default="/tmp/srt_trace")
     args = p.parse_args()
+    if args.steps < 1:
+        p.error("--steps must be >= 1")
 
     import jax
     import jax.numpy as jnp
@@ -60,13 +63,13 @@ def main():
     batches = [trainer._put_batch(next(loader)) for _ in range(8)]
     state = trainer.state
     for i in range(3):
-        state, m = trainer._jit_step(state, batches[i % 8])
+        state, m = trainer._jit_step(state, batches[i % len(batches)])
     _ = float(m["total_loss"])  # value fetch — block_until_ready can
     # return before execution completes on this runtime (see bench.py)
 
     jax.profiler.start_trace(args.logdir)
     for i in range(args.steps):
-        state, m = trainer._jit_step(state, batches[i % 8])
+        state, m = trainer._jit_step(state, batches[i % len(batches)])
     _ = float(m["total_loss"])
     jax.profiler.stop_trace()
 
@@ -88,6 +91,10 @@ def main():
                if e.get("ph") == "M" and e.get("name") == "thread_name"
                and e["pid"] in tpu_pids
                and "XLA Ops" in e.get("args", {}).get("name", "")}
+    assert op_tids, (
+        "no 'XLA Ops' device thread track in the trace — CPU backend, or "
+        "an XLA profiler version renamed the track; an all-zero breakdown "
+        "would be meaningless")
     by_cat = collections.Counter()
     by_op = collections.Counter()
     op_count = collections.Counter()
