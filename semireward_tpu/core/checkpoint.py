@@ -18,18 +18,35 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-host fsdp/tp shardings: np.asarray raises on arrays
+            # spanning non-addressable devices — gather the full value
+            # (checkpoint-time only; all hosts participate, rank 0 writes)
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x,
+                                                                tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
-def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None):
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
+                    write: bool = True):
     """Atomic pickle of the numpy-ified state pytree.
 
     orbax is available in-image but its directory-per-step layout is
     overkill for the reference's two-file policy; a single atomic file
     matches latest_model.pth/model_best.pth semantics exactly.
+
+    Multi-host: call on ALL ranks with ``write=(rank == 0)`` — the
+    numpy-ification gathers non-addressable (fsdp/tp-sharded) leaves via a
+    collective every rank must join; only the designated rank touches disk.
     """
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {"state": _to_numpy(state), "extra": extra or {}}
+    if not write:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)

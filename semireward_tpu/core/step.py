@@ -137,16 +137,6 @@ def make_train_step(cfg, alg: Algorithm, model,
     return train_step
 
 
-def make_eval_step(model, use_ema: bool = True) -> Callable:
-    """Eval forward under the EMA shadow (reference algorithmbase.py:377-457
-    evaluates with ema.apply_shadow())."""
-
-    def eval_step(state: TrainState, x: jnp.ndarray):
-        params = state.ema_params if use_ema else state.params
-        variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        out = model.apply(variables, x, train=False)
-        return out["logits"]
-
-    return eval_step
+# (the eval forward lives in Trainer.evaluate — it additionally handles
+# out_key dispatch and CV normalization; a second exported eval-step helper
+# here drifted from it and was removed)

@@ -31,7 +31,7 @@ from semireward_tpu.registry import ALGORITHMS, NETS
 from semireward_tpu.core import checkpoint as ckpt
 from semireward_tpu.core import metrics as M
 from semireward_tpu.core.optim import cosine_schedule_with_warmup
-from semireward_tpu.core.step import init_train_state, make_train_step, make_eval_step
+from semireward_tpu.core.step import init_train_state, make_train_step
 from semireward_tpu.data.augment import AugmentSpec, augment_views, normalize
 from semireward_tpu.data.datasets import get_dataset, SSLDataBundle
 from semireward_tpu.data.loader import SSLLoader, eval_batches
@@ -293,29 +293,34 @@ class Trainer:
                                                           bool))})
 
     # ------------------------------------------------------------------
-    def _make_loader(self):
+    def _make_loader(self, seed=None):
         cfg = self.cfg
+        seed = cfg.seed if seed is None else seed
         if self.modality == "nlp":
             from semireward_tpu.data.modality import NLPSSLLoader
             return NLPSSLLoader(
                 {"train_lb": self.bundle.train_lb,
                  "train_ulb": self.bundle.train_ulb},
-                self.collator, cfg.batch_size, cfg.ulb_batch_size,
-                self.alg.BATCH_KEYS, seed=cfg.seed)
+                self.collator, cfg.batch_size // self.world,
+                cfg.ulb_batch_size // self.world,
+                self.alg.BATCH_KEYS, seed=seed,
+                rank=self.rank, world=self.world)
         if self.modality == "audio":
             from semireward_tpu.data.modality import AudioSSLLoader
             return AudioSSLLoader(
                 {"train_lb": self.bundle.train_lb,
                  "train_ulb": self.bundle.train_ulb},
-                self.collator, cfg.batch_size, cfg.ulb_batch_size,
-                self.alg.BATCH_KEYS, seed=cfg.seed)
+                self.collator, cfg.batch_size // self.world,
+                cfg.ulb_batch_size // self.world,
+                self.alg.BATCH_KEYS, seed=seed,
+                rank=self.rank, world=self.world)
         tfe = bool(getattr(self.alg, "EXTRA_STREAMS", ()))
         # multi-host: each host draws its rank-strided 1/world share of the
         # global batch; _put_batch reassembles the global array
         bs = cfg.batch_size // self.world
         ubs = cfg.ulb_batch_size // self.world
         return SSLLoader(
-            self.bundle, bs, ubs, seed=cfg.seed,
+            self.bundle, bs, ubs, seed=seed,
             rank=self.rank, world=self.world,
             tfe_streams=tfe,
             tfe_ulb_batch_size=int(cfg.extra.get("cossl_tfe_u_ratio", 1))
@@ -364,11 +369,18 @@ class Trainer:
         from semireward_tpu.core.train_state import tree_ema as _tree_ema
 
         spec = self.aug_spec
+        modality = self.modality
 
         def wu_step(state, raw):
             arng = jax.random.fold_in(state.rng, state.step)
-            x = augment_views(arng, raw["x_lb"], raw["x_ulb"], spec,
-                              ["x_lb"])["x_lb"]
+            if modality == "cv":
+                x = augment_views(arng, raw["x_lb"], raw["x_ulb"], spec,
+                                  ["x_lb"])["x_lb"]
+            else:
+                # NLP/audio labeled views arrive collated host-side
+                # (reference dash warmup feeds data_lb['x_lb'] unchanged,
+                # dash.py:106-117)
+                x = raw["x_lb"]
 
             def loss_fn(params):
                 v = {"params": params}
@@ -393,12 +405,9 @@ class Trainer:
                 if st else state.batch_stats), loss
 
         jit_wu = jax.jit(wu_step, donate_argnums=0)
-        # mirror _make_loader's multi-host contract: each host draws its
-        # rank-strided 1/world share, _put_batch reassembles the global batch
-        loader = SSLLoader(self.bundle, cfg.batch_size // self.world,
-                           cfg.ulb_batch_size // self.world,
-                           seed=cfg.seed + 99,
-                           rank=self.rank, world=self.world)
+        # the modality-aware loader (multi-host rank striding included);
+        # +99 decorrelates warmup batches from the main stream
+        loader = self._make_loader(seed=cfg.seed + 99)
         n = int(cfg.extra.get("num_wu_iter", cfg.num_wu_iter))
         for i in range(n):
             self.state, loss = jit_wu(self.state, self._put_batch(next(loader)))
@@ -426,6 +435,15 @@ class Trainer:
                                "NEEDS_WARMUP", False))
         if needs_wu and int(self.state.step) == 0:
             self.warmup()
+        # Dash warmup advances the optimizer's schedule count by num_wu_iter
+        # and resets only the iteration counter — FAITHFUL to the reference
+        # (dash.py:152-154 resets self.it but never the torch scheduler), so
+        # the applied LR runs offset; the LOGGED lr must reflect the same
+        # offset or log and device disagree for the whole run (set on resume
+        # too: the checkpointed opt_state carries the warmup steps)
+        self._lr_log_offset = (int(cfg.extra.get("num_wu_iter",
+                                                 cfg.num_wu_iter))
+                               if needs_wu else 0)
         loader = self._make_loader()
         log = self.logger.info
         results: Dict[str, float] = {}
@@ -434,6 +452,10 @@ class Trainer:
         prefetch_acc = 0.0  # reference TimerHook's train/prefetch_time
         prefetched = self._put_batch(next(loader))
         start_it = int(self.state.step)
+        # timing window = steps since the last t0 reset (log OR eval
+        # boundary); dividing by num_log_iter when the windows interleave
+        # (num_eval_iter not a multiple of num_log_iter) misreports steps/s
+        window_start = start_it
         for it in range(start_it, num_iters):
             raw = prefetched
             self.state, metrics = self._jit_step(self.state, raw)
@@ -448,15 +470,20 @@ class Trainer:
                 for k, v in metrics_acc.items():
                     if jnp.ndim(v) == 0:
                         fv = float(v)
-                        if math.isfinite(fv):
+                        # drop only ±inf (legit sentinels, e.g. SR's
+                        # max_reward=-inf before stage 2) — a NaN must stay
+                        # VISIBLE or divergence hides until the next eval
+                        if math.isfinite(fv) or math.isnan(fv):
                             fetched[k] = fv
                 dt = time.time() - t0
-                sps = cfg.num_log_iter / dt if it > start_it else 0.0
-                lr = float(self._schedule(step_now))
+                steps_in_window = step_now - window_start
+                sps = steps_in_window / dt if steps_in_window else 0.0
+                lr = float(self._schedule(
+                    step_now + getattr(self, "_lr_log_offset", 0)))
                 log(f"it {step_now}/{num_iters} "
                     + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
                     + f" lr={lr:.2e} steps/s={sps:.2f}")
-                n = max(cfg.num_log_iter, 1)
+                n = max(steps_in_window, 1)
                 self.sink.log({**{f"train/{k}": v for k, v in fetched.items()},
                                "lr": lr, "train/steps_per_sec": sps,
                                "train/prefetch_time": prefetch_acc / n,
@@ -465,6 +492,7 @@ class Trainer:
                               step_now)
                 prefetch_acc = 0.0
                 t0 = time.time()
+                window_start = step_now
 
             # host-side epoch actions (SAW/ADSH re-weighting etc.,
             # reference after_train_epoch hooks)
@@ -478,17 +506,19 @@ class Trainer:
                 eval_m = self.evaluate()
                 key = "top-1-acc" if not cfg.is_regression else "mse"
                 score = eval_m[key] if not cfg.is_regression else -eval_m[key]
+                # all ranks call save (sharded leaves gather collectively,
+                # checkpoint.py:_to_numpy); rank 0 alone writes the file
                 if score > self.best_metric:
                     self.best_metric = score
                     self.best_it = step_now
-                    if self.rank == 0:  # rank-0-only I/O (checkpoint.py:18-20)
-                        ckpt.save_checkpoint(
-                            os.path.join(self._save_dir, "model_best.ckpt"),
-                            self.state, self._ckpt_extra(step_now, eval_m))
-                if self.rank == 0:
                     ckpt.save_checkpoint(
-                        os.path.join(self._save_dir, "latest_model.ckpt"),
-                        self.state, self._ckpt_extra(step_now, eval_m))
+                        os.path.join(self._save_dir, "model_best.ckpt"),
+                        self.state, self._ckpt_extra(step_now, eval_m),
+                        write=self.rank == 0)
+                ckpt.save_checkpoint(
+                    os.path.join(self._save_dir, "latest_model.ckpt"),
+                    self.state, self._ckpt_extra(step_now, eval_m),
+                    write=self.rank == 0)
                 log(f"eval @ {step_now}: "
                     + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
                     + f" (best {self.best_metric:.4f} @ {self.best_it})")
@@ -500,12 +530,28 @@ class Trainer:
                 if eval_hook:
                     eval_hook(step_now, eval_m)
                 t0 = time.time()
+                window_start = step_now
+                prefetch_acc = 0.0
 
         # after_run protocol (reference hooks/evaluation.py:31-54): reload
         # the best checkpoint and evaluate the test split when one exists
         test_ds = getattr(self.bundle, "test", None)
         best_path = os.path.join(self._save_dir, "model_best.ckpt")
-        if test_ds is not None and os.path.exists(best_path):
+        have_best = os.path.exists(best_path)
+        if self.world > 1 and test_ds is not None:
+            # the decision must be UNIFORM across ranks: the ckpt is written
+            # on rank 0's disk only, so an os.path.exists gate would send
+            # rank 0 into a collective eval the other ranks skip (deadlock).
+            # Without a shared filesystem the reload is skipped everywhere.
+            from jax.experimental import multihost_utils
+            haves = multihost_utils.process_allgather(
+                jnp.asarray(have_best, jnp.int32))
+            all_have = bool(np.min(np.asarray(haves)) > 0)
+            if have_best and not all_have:
+                log("best-ckpt test eval skipped: multi-host run without a "
+                    "shared filesystem (model_best.ckpt on rank 0 only)")
+            have_best = all_have
+        if test_ds is not None and have_best:
             cur = self.state
             try:
                 self.state, _ = ckpt.load_checkpoint(best_path, self.state)

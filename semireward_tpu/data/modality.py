@@ -56,15 +56,19 @@ class NLPSSLLoader:
     reference's nlp collator output)."""
 
     def __init__(self, splits, collator, batch_size, ulb_batch_size,
-                 batch_keys, seed=0):
+                 batch_keys, seed=0, rank=0, world=1):
+        # multi-host: same contract as loader.SSLLoader — each host draws
+        # its rank-strided 1/world share of the global batch (the caller
+        # divides batch sizes by world); view randomness is rank-salted
         self.lb = splits["train_lb"]
         self.ulb = splits["train_ulb"]
         self.col = collator
         self.keys = batch_keys
-        self._lb = batched(infinite_indices(len(self.lb), seed), batch_size)
-        self._ulb = batched(infinite_indices(len(self.ulb), seed + 1),
-                            ulb_batch_size)
-        self._rs = np.random.RandomState(seed + 2)
+        self._lb = batched(infinite_indices(len(self.lb), seed, rank, world),
+                           batch_size)
+        self._ulb = batched(infinite_indices(len(self.ulb), seed + 1,
+                                             rank, world), ulb_batch_size)
+        self._rs = np.random.RandomState(seed + 2 + 1000 * rank)
 
     def __iter__(self):
         return self
@@ -94,15 +98,19 @@ class AudioSSLLoader:
     and are transformed on device inside the train step."""
 
     def __init__(self, splits, collator, batch_size, ulb_batch_size,
-                 batch_keys, seed=0):
+                 batch_keys, seed=0, rank=0, world=1):
+        # multi-host: same contract as loader.SSLLoader — each host draws
+        # its rank-strided 1/world share of the global batch (the caller
+        # divides batch sizes by world); view randomness is rank-salted
         self.lb = splits["train_lb"]
         self.ulb = splits["train_ulb"]
         self.col = collator
         self.keys = batch_keys
-        self._lb = batched(infinite_indices(len(self.lb), seed), batch_size)
-        self._ulb = batched(infinite_indices(len(self.ulb), seed + 1),
-                            ulb_batch_size)
-        self._rs = np.random.RandomState(seed + 2)
+        self._lb = batched(infinite_indices(len(self.lb), seed, rank, world),
+                           batch_size)
+        self._ulb = batched(infinite_indices(len(self.ulb), seed + 1,
+                                             rank, world), ulb_batch_size)
+        self._rs = np.random.RandomState(seed + 2 + 1000 * rank)
 
     def __iter__(self):
         return self

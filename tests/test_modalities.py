@@ -178,6 +178,33 @@ class TestBio:
         assert "eval/top-1-acc" in res
         assert "test/top-1-acc" in res  # test split exists for bio
 
+    def test_dash_warmup_on_text(self, tmp_path):
+        """Dash's supervised warmup must run through the MODALITY-AWARE
+        loader: the old warmup hardcoded the CV SSLLoader + augment_views
+        and crashed on tokenized batches (review finding, round 3)."""
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        name = write_nlp_fixture(str(tmp_path))
+        cfg = get_config(dict(
+            algorithm="dash", net="bert_base_uncased", dataset=name,
+            data_dir=str(tmp_path), num_classes=2, num_labels=8,
+            batch_size=2, uratio=1, eval_batch_size=4, max_length=16,
+            num_train_iter=2, num_eval_iter=2, num_log_iter=1,
+            optim="AdamW", lr=1e-4, ema_m=0.0, compute_dtype="float32",
+            save_dir=str(tmp_path), save_name="dash_nlp"))
+        cfg.extra["num_wu_iter"] = 2
+        cfg.extra["num_wu_eval_iter"] = 1
+        cfg.extra["net_kwargs"] = dict(hidden=32, layers=2, heads=2,
+                                       intermediate=64, max_position=16)
+        tr = Trainer(cfg, use_mesh=False)
+        res = tr.train()
+        assert "eval/top-1-acc" in res
+        # warmup advanced the schedule count but reset the step counter
+        # (faithful: reference dash.py:152-154); the logged-lr offset
+        # tracks it
+        assert tr._lr_log_offset == 2
+
 
 class TestMedMNIST:
     def test_any_member_loads_by_name(self, tmp_path):
