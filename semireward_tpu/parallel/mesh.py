@@ -27,7 +27,19 @@ def build_mesh(mesh_shape: Sequence[int] = (-1,),
         shape[shape.index(-1)] = n // known
     assert int(np.prod(shape)) == n, (
         f"mesh shape {shape} != {n} devices")
-    arr = np.asarray(devices).reshape(shape)
+    if devices is jax.devices() or devices == jax.devices():
+        # topology-aware assignment: create_device_mesh orders devices so
+        # the innermost axes ride nearest-neighbor ICI links (a raw
+        # enumeration reshape can put per-layer TP all-reduces on
+        # multi-hop paths); fall back to enumeration order where the
+        # helper has no topology (CPU meshes, odd shapes)
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(tuple(shape))
+        except Exception:
+            arr = np.asarray(devices).reshape(shape)
+    else:
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axis_names))
 
 
@@ -50,11 +62,16 @@ def _fsdp_leaf_spec(mesh: Mesh, axis: str, min_size: int):
 
     def spec(leaf):
         if not hasattr(leaf, "shape") or leaf.size < min_size:
-            return NamedSharding(mesh, P())
+            return replicated(mesh)
         dims = list(leaf.shape)
-        best = int(np.argmax(dims))
-        if dims[best] % n_shard != 0:
-            return NamedSharding(mesh, P())
+        # largest DIVISIBLE dim (not unconditionally the largest: the BERT
+        # word embedding [30522, 768] must shard its 768 dim on a 4/8-way
+        # axis rather than replicate 4 copies of param+EMA+mu+nu)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        best = next((i for i in order if dims[i] % n_shard == 0
+                     and dims[i] >= n_shard), None)
+        if best is None:
+            return replicated(mesh)
         parts = [None] * len(dims)
         parts[best] = axis
         return NamedSharding(mesh, P(*parts))
@@ -225,8 +242,13 @@ def setup_distributed(cfg=None) -> Tuple[int, int]:
     if want:
         try:
             jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            pass  # already initialized, or single-host metadata absent
+        except (RuntimeError, ValueError) as e:
+            # tolerate ONLY double-initialization; a real coordinator
+            # failure must not silently degrade an 8-host pod into 8
+            # independent rank-0/world-1 jobs (unstrided data, every host
+            # writing model_best.ckpt)
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
@@ -235,5 +257,9 @@ def put_global_batch(sharding: NamedSharding, batch: dict) -> dict:
     its rank-strided slice (see data/loader.py infinite_indices); XLA sees
     one global array sharded over the full mesh — the multi-host analogue
     of DistributedSampler + per-rank DataLoader."""
-    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+    # values may be pytrees (tokenized NLP batches: x_lb = {'input_ids':
+    # ..., 'attention_mask': ...}) — assemble per LEAF
+    return {k: jax.tree_util.tree_map(
+                lambda leaf: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(leaf)), v)
             for k, v in batch.items()}
