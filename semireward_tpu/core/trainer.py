@@ -163,11 +163,16 @@ class Trainer:
         # (medmnist.py:891); configurable via extra['randaug_no_color']
         no_color = bool(cfg.extra.get(
             "randaug_no_color", cfg.dataset in ("tissuemnist", "medmnist")))
+        # full-size JPEG sets decode at img_size/crop_ratio (datasets.py) —
+        # views then mirror the reference's RandomCrop / RandomResizedCrop
+        # from the larger decode (imagenet.py:50-66) instead of pad-crop
+        src = int(getattr(self.bundle.train_lb, "img_size", cfg.img_size))
         self.aug_spec = AugmentSpec(
             crop_size=cfg.img_size,
             crop_pad=int(cfg.img_size * (1 - cfg.crop_ratio)),
             mean=self.bundle.mean, std=self.bundle.std,
             randaug_n=3, exclude_color=no_color,
+            src_size=src if src > cfg.img_size else 0,
         )
 
         rng = prng.root_key(cfg.seed)
@@ -331,7 +336,15 @@ class Trainer:
         """Fixed-shape eval batches per modality."""
         cfg = self.cfg
         if self.modality == "cv":
-            yield from eval_batches(ds, cfg.eval_batch_size)
+            for b in eval_batches(ds, cfg.eval_batch_size):
+                S = b["x"].shape[1]
+                if S > cfg.img_size:
+                    # full-size JPEG eval decodes at img/crop_ratio —
+                    # CenterCrop to img_size (reference imagenet.py:67-70)
+                    off = (S - cfg.img_size) // 2
+                    b["x"] = b["x"][:, off:off + cfg.img_size,
+                                    off:off + cfg.img_size]
+                yield b
             return
         n = len(ds)
         bs = cfg.eval_batch_size

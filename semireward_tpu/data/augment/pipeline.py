@@ -30,6 +30,12 @@ class AugmentSpec(NamedTuple):
     randaug_n: int = 3
     exclude_color: bool = False    # RandAugment no-color variant
     hflip: bool = True
+    # full-size JPEG sets (imagenet/food101/semi_aves) decode at
+    # src_size = floor(img_size / crop_ratio) and the views mirror the
+    # reference transforms (imagenet.py:50-66): weak = RandomCrop(src ->
+    # crop) + flip, strong = RandomResizedCropAndInterpolation + flip +
+    # RandAugment. 0 = decode at crop_size (the 32/96px reflect-pad path).
+    src_size: int = 0
 
 
 # (op, min_val, max_val) — reference augment_list() randaugment.py:146-162
@@ -237,18 +243,54 @@ def normalize(x, mean: Sequence[float], std: Sequence[float]):
     return (x.astype(jnp.float32) / 255.0 - m) / s
 
 
+def _hflip_batch(rng, x):
+    B = x.shape[0]
+    flip = jax.random.bernoulli(rng, 0.5, (B,))
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
+
+
+def _crop_from_larger(rng, x, out_size: int, hflip: bool):
+    """RandomCrop from a larger decode (reference imagenet.py:51-53:
+    Resize(img/crop_ratio) -> RandomCrop(img) -> HFlip) as one gather —
+    offsets in [0, src-out], no padding/reflection."""
+    B, H, W, C = x.shape
+    keys = jax.random.split(rng, B)
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+    kx, ky, kf = keys3[:, 0], keys3[:, 1], keys3[:, 2]
+    oy = jax.vmap(lambda k: jax.random.randint(k, (), 0, H - out_size + 1))(ky)
+    ox = jax.vmap(lambda k: jax.random.randint(k, (), 0, W - out_size + 1))(kx)
+    rows = jnp.arange(out_size)[None, :] + oy[:, None]
+    cols = jnp.arange(out_size)[None, :] + ox[:, None]
+    if hflip:
+        flip = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(kf)
+        cols = jnp.where(flip[:, None], cols[:, ::-1], cols)
+    return jax.vmap(lambda im, r, c: im[r][:, c])(x, rows, cols)
+
+
 def weak_augment(rng, batch, spec: AugmentSpec):
     """[B,H,W,C] uint8/float -> normalized float32."""
     x = batch.astype(jnp.float32)
-    x = _crop_flip_batch(rng, x, spec.crop_pad, spec.hflip)
+    if spec.src_size > spec.crop_size:
+        x = _crop_from_larger(rng, x, spec.crop_size, spec.hflip)
+    else:
+        x = _crop_flip_batch(rng, x, spec.crop_pad, spec.hflip)
     return normalize(x, spec.mean, spec.std)
 
 
 def randaugment(rng, batch, spec: AugmentSpec):
-    """Strong view: crop/flip + RandAugment + Cutout, normalized."""
+    """Strong view: crop/flip + RandAugment + Cutout, normalized. The
+    full-size path (src_size > crop_size) uses RandomResizedCrop like the
+    reference strong transform (imagenet.py:58-66); the crop_size path is
+    byte-stable with earlier rounds (bit-identity tests)."""
     x = batch.astype(jnp.float32)
-    k1, k2 = jax.random.split(rng)
-    x = _crop_flip_batch(k1, x, spec.crop_pad, spec.hflip)
+    if spec.src_size > spec.crop_size:
+        k1, kf, k2 = jax.random.split(rng, 3)
+        x = random_resized_crop(k1, x, spec.crop_size)
+        if spec.hflip:
+            x = _hflip_batch(kf, x)
+    else:
+        k1, k2 = jax.random.split(rng)
+        x = _crop_flip_batch(k1, x, spec.crop_pad, spec.hflip)
     x = _randaugment_batch(k2, x, spec.randaug_n, spec.exclude_color)
     return normalize(x, spec.mean, spec.std)
 

@@ -9,6 +9,7 @@ read pre-downloaded torchvision file layouts and fall back loudly.
 """
 from __future__ import annotations
 
+import math
 import os
 import pickle
 from dataclasses import dataclass, field
@@ -24,17 +25,15 @@ from semireward_tpu.data.split import split_ssl_data
 MEAN = {
     "cifar10": (0.485, 0.456, 0.406),
     "cifar100": tuple(x / 255 for x in (129.3, 124.1, 112.4)),
-    "svhn": (0.4380, 0.4440, 0.4730),
-    "stl10": (112.4 / 255, 109.1 / 255, 98.6 / 255),
     "synthetic": (0.5, 0.5, 0.5),
 }
 STD = {
     "cifar10": (0.229, 0.224, 0.225),
     "cifar100": tuple(x / 255 for x in (68.2, 65.4, 70.4)),
-    "svhn": (0.1751, 0.1771, 0.1744),
-    "stl10": (68.4 / 255, 66.6 / 255, 68.5 / 255),
     "synthetic": (0.25, 0.25, 0.25),
 }
+# svhn/stl10/eurosat/medmnist/imagenet constants live ONCE, in
+# cv_extra.MEAN_STD (they were duplicated here and could drift)
 
 
 @dataclass
@@ -137,7 +136,11 @@ def make_synthetic(num_classes: int, img_size: int, n_train: int = 512,
 
     def gen(n):
         y = rs.randint(0, num_classes, n)
-        eps = rs.randint(-noise, noise, (n, img_size, img_size, 3))
+        # noise=0 must be legal (clean-task probes): randint(low>=high)
+        # raises. The asymmetric [-noise, noise) range is kept as-is —
+        # committed round-2 QUALITY artifacts calibrated on this stream
+        eps = (rs.randint(-noise, noise, (n, img_size, img_size, 3))
+               if noise > 0 else 0)
         x = np.clip(base[y] + eps, 0, 255).astype(np.uint8)
         return x, y.astype(np.int64)
 
@@ -239,16 +242,18 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
         mean, std = MEAN[name], STD[name]
         num_classes = 10 if name == "cifar10" else 100
     elif name == "svhn":
-        from semireward_tpu.data.cv_extra import load_svhn
+        from semireward_tpu.data.cv_extra import (MEAN_STD,
+                                                  load_svhn)
         (data, targets), (tdata, ttargets) = load_svhn(cfg.data_dir)
-        mean, std = MEAN["svhn"], STD["svhn"]
+        mean, std = MEAN_STD["svhn"]
         num_classes = 10
     elif name == "stl10":
         # reference stl10.py: lb split from train, ulb = the dedicated
         # 100k unlabeled_X set
-        from semireward_tpu.data.cv_extra import load_stl10
+        from semireward_tpu.data.cv_extra import (MEAN_STD,
+                                                  load_stl10)
         (data, targets), (tdata, ttargets), unlabeled = load_stl10(cfg.data_dir)
-        mean, std = MEAN["stl10"], STD["stl10"]
+        mean, std = MEAN_STD["stl10"]
         rng = np.random.RandomState(cfg.seed)
         lb_data, lb_targets, _, _ = split_ssl_data(
             data, targets, 10, cfg.num_labels, include_lb_to_ulb=False,
@@ -319,6 +324,11 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
             MEAN_STD, JPEGFolderDataset, get_imagenet, load_folder_list)
         from semireward_tpu.data.split import sample_labeled_unlabeled_data
         mean, std = MEAN_STD["imagenet"]
+        # decode at img_size/crop_ratio: the reference resizes to that then
+        # RandomCrop/RandomResizedCrop/CenterCrops to img_size
+        # (imagenet.py:50-70); device-side views mirror it via
+        # AugmentSpec.src_size, eval center-crops host-side
+        decode = int(math.floor(cfg.img_size / cfg.crop_ratio))
         if name == "semi_aves":
             # predefined lb/ulb/val lists — no index split
             def _first(*cands):
@@ -332,17 +342,22 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
             ulb_p, ulb_y = _first("u_train_in.txt", "u_train.txt")
             ev_p, ev_y = _first("val.txt", "test.txt")
             return SSLDataBundle(
-                train_lb=JPEGFolderDataset(lb_p, lb_y, cfg.img_size),
-                train_ulb=JPEGFolderDataset(ulb_p, ulb_y, cfg.img_size),
-                eval=JPEGFolderDataset(ev_p, ev_y, cfg.img_size),
+                train_lb=JPEGFolderDataset(lb_p, lb_y, decode),
+                train_ulb=JPEGFolderDataset(ulb_p, ulb_y, decode),
+                eval=JPEGFolderDataset(ev_p, ev_y, decode),
                 num_classes=cfg.num_classes, mean=mean, std=std)
         if name == "food101":
             tr_p, tr_y = load_folder_list(cfg.data_dir, name, "train_list.txt")
             ev_p, ev_y = load_folder_list(cfg.data_dir, name, "test_list.txt")
-            train = JPEGFolderDataset(tr_p, tr_y, cfg.img_size)
-            val = JPEGFolderDataset(ev_p, ev_y, cfg.img_size)
-        else:  # imagenet / imagenet127 (same tree; 127 = coarse label map)
-            train, val = get_imagenet(cfg.data_dir, cfg.img_size)
+            train = JPEGFolderDataset(tr_p, tr_y, decode)
+            val = JPEGFolderDataset(ev_p, ev_y, decode)
+        else:
+            # imagenet / imagenet127: the reference treats both as the SAME
+            # plain folder loader (core/utils/build.py:97) — for
+            # imagenet127 the directory tree itself holds the 127 coarse
+            # class folders (prepared offline); no in-code label map exists
+            # in either framework
+            train, val = get_imagenet(cfg.data_dir, decode)
         rng = np.random.RandomState(cfg.seed)
         dump_dir = os.path.join(cfg.data_dir, "data_statistics", name,
                                 "labeled_idx")
@@ -353,6 +368,7 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
             ulb_imbalance_ratio=cfg.ulb_imb_ratio, rng=rng,
             dump_dir=dump_dir,
             dump_tag=f"labels{cfg.num_labels}_{cfg.lb_imb_ratio}"
+                     f"_ulb{cfg.ulb_num_labels}_{cfg.ulb_imb_ratio}"
                      f"_seed{cfg.seed}")
         if cfg.include_lb_to_ulb:
             ulb_idx = np.concatenate([lb_idx, ulb_idx])
@@ -391,7 +407,9 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
         include_lb_to_ulb=cfg.include_lb_to_ulb,
         rng=rng,
         dump_dir=dump_dir if name != "synthetic" else None,
-        dump_tag=f"labels{cfg.num_labels}_{cfg.lb_imb_ratio}_seed{cfg.seed}")
+        dump_tag=f"labels{cfg.num_labels}_{cfg.lb_imb_ratio}"
+                 f"_ulb{cfg.ulb_num_labels}_{cfg.ulb_imb_ratio}"
+                 f"_seed{cfg.seed}")
 
     if alg == "fullysupervised":
         lb_data, lb_targets = data, targets

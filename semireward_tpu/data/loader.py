@@ -28,11 +28,24 @@ def _gather(arr, idx):
 def infinite_indices(n: int, seed: int, rank: int = 0, world: int = 1
                      ) -> Iterator[int]:
     """Repeated seeded randperm, strided by rank (sampler.py:59-77)."""
+    if world > 1 and n < world:
+        raise ValueError(
+            f"dataset of {n} rows cannot stride over {world} hosts "
+            f"(the epoch loop would yield nothing and next() would spin "
+            f"forever)")
     g = np.random.RandomState(seed)
     while True:
         perm = g.permutation(n)
         for i in range(rank, n - (n % world or 0) if world > 1 else n, world):
             yield perm[i]
+
+
+def _class_balance_weights(targets, num_classes: int) -> np.ndarray:
+    """Inverse-class-frequency sampling weights, normalized."""
+    targets = np.asarray(targets, np.int64)
+    cnt = np.bincount(targets, minlength=num_classes).astype(np.float64)
+    w = (1.0 / np.maximum(cnt, 1))[targets]
+    return w / w.sum()
 
 
 def batched(it: Iterator[int], batch_size: int) -> Iterator[np.ndarray]:
@@ -59,19 +72,18 @@ class SSLLoader:
         if sampler == "WeightedRandomSampler":
             # name2sampler's weighted variant (reference
             # datasets/samplers/sampler.py:148): labeled stream reweighted
-            # toward class balance
-            targets = np.asarray(bundle.train_lb.targets, np.int64)
-            cnt = np.bincount(targets,
-                              minlength=bundle.num_classes).astype(np.float64)
-            w = (1.0 / np.maximum(cnt, 1))[targets]
-            w = w / w.sum()
+            # toward class balance. Drawn a BATCH at a time — a per-index
+            # rs.choice(p=w) rebuilds the O(N) CDF every draw
+            w = _class_balance_weights(bundle.train_lb.targets,
+                                       bundle.num_classes)
             rs = np.random.RandomState(seed + 1000 * rank)
+            n_lb = len(bundle.train_lb)
 
-            def weighted():
+            def weighted_batches():
                 while True:
-                    yield int(rs.choice(len(targets), p=w))
+                    yield rs.choice(n_lb, batch_size, p=w)
 
-            self._lb = batched(weighted(), batch_size)
+            self._lb = weighted_batches()
         else:
             self._lb = batched(
                 infinite_indices(len(bundle.train_lb), seed, rank, world),
@@ -83,10 +95,8 @@ class SSLLoader:
         # reference cossl.py:150-160) + an extra unlabeled stream
         self._tfe = None
         if tfe_streams:
-            targets = np.asarray(bundle.train_lb.targets, np.int64)
-            cnt = np.bincount(targets, minlength=bundle.num_classes).astype(np.float64)
-            w = (1.0 / np.maximum(cnt, 1))[targets]
-            self._tfe_p = w / w.sum()
+            self._tfe_p = _class_balance_weights(bundle.train_lb.targets,
+                                                 bundle.num_classes)
             self._tfe_rs = np.random.RandomState(seed + 7 + 1000 * rank)
             self._tfe_ulb = batched(
                 infinite_indices(len(bundle.train_ulb), seed + 8, rank, world),
@@ -109,6 +119,16 @@ class SSLLoader:
                 "y_ulb": ulb.targets[ulb_idx],
                 "idx_ulb": ulb_idx.astype(np.int32),
             }
+            if self._tfe:
+                # CoSSL's teacher streams must flow on JPEG-folder datasets
+                # too — silently dropping them degrades CoSSL to its base
+                # algorithm (cossl.post_loss skips when x_tfe_lb is absent)
+                tfe_lb_idx = self._tfe_rs.choice(len(lb), self.batch_size,
+                                                 p=self._tfe_p)
+                tfe_ulb_idx = next(self._tfe_ulb)
+                out["x_tfe_lb"] = lb.gather(tfe_lb_idx)
+                out["y_tfe_lb"] = lb.targets[tfe_lb_idx]
+                out["x_tfe_ulb"] = ulb.gather(tfe_ulb_idx)
             return out
         out = {
             "x_lb": _gather(lb.data, lb_idx),
@@ -122,9 +142,9 @@ class SSLLoader:
             tfe_lb_idx = self._tfe_rs.choice(len(lb), self.batch_size,
                                              p=self._tfe_p)
             tfe_ulb_idx = next(self._tfe_ulb)
-            out["x_tfe_lb"] = lb.data[tfe_lb_idx]
+            out["x_tfe_lb"] = _gather(lb.data, tfe_lb_idx)
             out["y_tfe_lb"] = lb.targets[tfe_lb_idx]
-            out["x_tfe_ulb"] = ulb.data[tfe_ulb_idx]
+            out["x_tfe_ulb"] = _gather(ulb.data, tfe_ulb_idx)
         return out
 
 

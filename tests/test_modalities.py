@@ -260,12 +260,34 @@ class TestFolderAndRegressionDatasets:
         b = st.get_dataset(cfg)
         assert len(b.train_lb) == 8 and len(b.eval) == 16
         batch = next(st.get_data_loader(b, batch_size=4, ulb_batch_size=8))
-        assert batch["x_lb"].shape == (4, 32, 32, 3)
+        # full-size JPEG sets decode at floor(img_size/crop_ratio) = 36
+        # (reference imagenet.py:50-51 Resize before the crops); the
+        # device-side views crop 36 -> 32 (AugmentSpec.src_size) and eval
+        # center-crops host-side
+        assert batch["x_lb"].shape == (4, 36, 36, 3)
         assert batch["x_lb"].dtype == np.uint8
         # eval path decodes lazily too, incl. the padded last batch
         ev = list(eval_batches(b.eval, 12))
-        assert ev[-1]["x"].shape == (12, 32, 32, 3)
+        assert ev[-1]["x"].shape == (12, 36, 36, 3)
         assert ev[-1]["mask"].sum() == 4
+
+        # the src_size view path: weak = RandomCrop(36->32)+flip, strong =
+        # RandomResizedCrop(36->32)+flip+RandAugment, both at img_size
+        import jax
+        import jax.numpy as jnp
+        from semireward_tpu.data.augment import AugmentSpec, augment_views
+
+        spec = AugmentSpec(crop_size=32, crop_pad=4, mean=b.mean, std=b.std,
+                           src_size=36)
+        views = augment_views(jax.random.PRNGKey(0),
+                              jnp.asarray(batch["x_lb"]),
+                              jnp.asarray(batch["x_ulb"]), spec,
+                              ["x_lb", "x_ulb_w", "x_ulb_s"])
+        assert views["x_lb"].shape == (4, 32, 32, 3)
+        assert views["x_ulb_w"].shape == (8, 32, 32, 3)
+        assert views["x_ulb_s"].shape == (8, 32, 32, 3)
+        for v in views.values():
+            assert np.isfinite(np.asarray(v)).all()
 
     def test_semi_aves_predefined_lists(self, tmp_path):
         import numpy as np, os
