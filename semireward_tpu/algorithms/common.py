@@ -81,18 +81,39 @@ def ssl_forward(
         l_lb, l_w, l_s = jnp.split(logits, [num_lb, num_lb + num_ulb], axis=0)
         f_lb, f_w, f_s = jnp.split(feats, [num_lb, num_lb + num_ulb], axis=0)
     else:
-        outs_lb, st1 = fwd(variables, x_lb, mutable)
+        # three SEPARATE forwards need independent dropout draws — the
+        # reference consumes the torch global RNG sequentially; reusing one
+        # key would give the weak teacher and strong student pass
+        # bit-identical masks (same shapes), biasing their disagreement.
+        # The LB pass keeps the UNFOLDED key: threefry bits are
+        # counter-prefix-stable, so its masks coincide with the cat path's
+        # leading rows (what keeps cat/separate losses comparable when only
+        # the supervised term is active).
+        def fold(i):
+            return ({"dropout": (rng if i == 0
+                                 else jax.random.fold_in(rng, i))}
+                    if rng is not None else None)
+
+        def fwd_i(v, x, m, i):
+            out = apply_fn(v, x, train=train, mutable=m, rngs=fold(i))
+            return (out[0], out[1]) if m else (out, {})
+
+        outs_lb, st1 = fwd_i(variables, x_lb, mutable, 0)
         if st1:
             variables = {"params": params, "batch_stats": st1["batch_stats"]}
-        outs_s, st2 = fwd(variables, x_ulb_s, mutable)
+        outs_s, st2 = fwd_i(variables, x_ulb_s, mutable, 2)
         # weak branch: no grad, and BN running stats frozen — the reference
         # wraps it in torch.no_grad() + Bn_Controller (misc.py:105-129),
         # which still NORMALIZES by the weak batch's own moments (train-mode
         # BN) but restores the running stats afterwards. Equivalent here:
         # train-mode forward whose returned batch_stats are discarded.
-        outs_w, _ = fwd(
+        # (note: in this separate path the weak branch is no-grad
+        # UNCONDITIONALLY, mirroring the reference's torch.no_grad() +
+        # Bn_Controller wrapper — stop_grad_w only has extra effect in the
+        # use_cat path, same as the reference)
+        outs_w, _ = fwd_i(
             {k: jax.lax.stop_gradient(v) for k, v in variables.items()},
-            x_ulb_w, mutable)
+            x_ulb_w, mutable, 3)
         l_lb, f_lb = outs_lb["logits"], outs_lb["feat"]
         l_s, f_s = outs_s["logits"], outs_s["feat"]
         l_w = jax.lax.stop_gradient(outs_w["logits"])

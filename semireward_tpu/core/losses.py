@@ -128,7 +128,11 @@ _REG_LOSSES = {
 def reg_loss(logits, targets, mode: str = "l1_loss", reduction: str = "mean", **kw):
     """Regression loss dispatcher (reference RegLoss, regression.py:70-90)."""
     fn = _REG_LOSSES[mode]
-    targets = jnp.reshape(targets, logits.shape).astype(logits.dtype)
+    # f32 accumulation regardless of compute dtype (module contract; a
+    # bf16 model would otherwise quantize the regression labels to ~3
+    # significant digits)
+    logits = logits.astype(jnp.float32)
+    targets = jnp.reshape(targets, logits.shape).astype(jnp.float32)
     return fn(logits, targets, reduction=reduction, **kw)
 
 

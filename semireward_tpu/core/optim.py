@@ -75,14 +75,18 @@ def default_wd_mask(params) -> "jax.tree_util.PyTreeDef":
 def layer_decay_scales(params, layer_decay: float,
                        layer_id_fn: Callable[[list, int], int],
                        num_layers: int):
-    """Per-leaf LR scale tree: scale = layer_decay ** (num_layers + 1 - layer_id),
-    with the same exponent convention as the reference param_groups_layer_decay
-    (timm/BEiT: head gets scale 1, embeddings get the deepest decay)."""
+    """Per-leaf LR scale tree: scale = layer_decay ** (num_layers - layer_id),
+    the exponent convention of the reference param_groups_layer_decay
+    (nets/utils.py:166-168, timm/BEiT: scale = ld ** (layer_max - id)):
+    the head (layer_id = num_layers = layer_max) gets scale 1.0 exactly,
+    embeddings (id 0) the deepest decay. Rounds 1-3 shipped an off-by-one
+    (ld ** (num_layers + 1 - id)) that uniformly deflated every group's LR
+    by one extra factor of layer_decay — found in the round-3 review."""
 
     def scale(path, leaf):
         names = _path_names(path)
         lid = layer_id_fn(names, num_layers)
-        return layer_decay ** (num_layers + 1 - lid)
+        return layer_decay ** (num_layers - lid)
 
     return jax.tree_util.tree_map_with_path(scale, params)
 
@@ -130,6 +134,11 @@ def build_flat_optimizer(
     in tests/test_optim.py)."""
     from jax.flatten_util import ravel_pytree
 
+    if optim_name.lower() not in ("adamw", "adam", "sgd"):
+        # match the tree path's validation — silently running SGD for an
+        # unknown name would let a typo'd config train with the wrong
+        # optimizer
+        raise ValueError(f"unknown optimizer '{optim_name}'")
     flat0, unravel = ravel_pytree(params)
     wd_vec = _elementwise_vec(params, wd_mask) if weight_decay else None
     scale_vec = _elementwise_vec(params, scales) if scales is not None else None

@@ -90,9 +90,11 @@ class TestOptimizerParity:
             return n
 
         scales = O.layer_decay_scales(params, 0.5, lid, num_layers=7)
-        assert np.isclose(scales["head"]["w"], 0.5)          # 0.5**(8-7)
-        assert np.isclose(scales["blocks5"]["w"], 0.5 ** 2)  # layer 6
-        assert np.isclose(scales["blocks0"]["w"], 0.5 ** 7)  # layer 1
+        # reference nets/utils.py:166-168: scale = ld ** (layer_max - id),
+        # head (id = layer_max) = 1.0 exactly
+        assert np.isclose(scales["head"]["w"], 1.0)
+        assert np.isclose(scales["blocks5"]["w"], 0.5 ** 1)  # layer 6
+        assert np.isclose(scales["blocks0"]["w"], 0.5 ** 6)  # layer 1
 
 
 class TestFlatEquivalence:
