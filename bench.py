@@ -380,7 +380,18 @@ def main():
         extras["vs_baseline_arithmetic"] = vs_arith
         vs_baseline = vs_arith
 
-        over_budget = time.perf_counter() - t_start > budget_s
+        # Reserve headroom for the arm itself: the measured ref-equivalent
+        # run (fresh trainer compile + 150 timed steps) costs minutes, so a
+        # run starting just under the budget would still blow the driver's
+        # hard timeout and lose the JSON line. Estimate the arm from this
+        # process's own measured work: a trainer build + 200-step measure
+        # already happened, and the ref arm re-does both (compile cache
+        # warm, 150 steps at ~9x the per-step device work).
+        arm_estimate_s = float(os.environ.get(
+            "BENCH_REF_ARM_ESTIMATE_S",
+            str(min(180.0, (time.perf_counter() - t_start) * 1.5))))
+        over_budget = (time.perf_counter() - t_start
+                       > budget_s - arm_estimate_s)
         if over_budget and not args.skip_ref_equivalent:
             _progress(t_start,
                       f"time budget {budget_s:.0f}s exceeded — skipping the "
@@ -433,19 +444,26 @@ def main():
                 "syncs -> lower bound on the true ratio" +
                 (" [measured arm skipped: wall-clock budget "
                  f"{budget_s:.0f}s hit on a slow tunnel; see "
-                 "BENCH_TIME_BUDGET_S]" if over_budget else ""))
+                 "BENCH_TIME_BUDGET_S]"
+                 if over_budget and not args.skip_ref_equivalent else ""))
 
-        if args.sr_ema and time.perf_counter() - t_start <= budget_s:
-            if trainer is not None:
-                del trainer  # free the chip (skip-ref-equivalent path)
-                trainer = None
-            cfg_e, trainer_e = build_trainer("headline", sr_ema=True,
-                                             flat=args.flat,
-                                             fused=args.fused,
-                                             flash=args.flash_attn)
-            extras["sr_ema_steps_per_sec"] = round(
-                measure_steps(trainer_e, cfg_e) / n_chips, 3)
-            del trainer_e
+        if args.sr_ema:
+            if time.perf_counter() - t_start > budget_s:
+                _progress(t_start,
+                          f"time budget {budget_s:.0f}s exceeded — skipping "
+                          "the --sr-ema arm")
+                extras["sr_ema_note"] = "skipped: time budget"
+            else:
+                if trainer is not None:
+                    del trainer  # free the chip (skip-ref-equivalent path)
+                    trainer = None
+                cfg_e, trainer_e = build_trainer("headline", sr_ema=True,
+                                                 flat=args.flat,
+                                                 fused=args.fused,
+                                                 flash=args.flash_attn)
+                extras["sr_ema_steps_per_sec"] = round(
+                    measure_steps(trainer_e, cfg_e) / n_chips, 3)
+                del trainer_e
 
     metric = {
         "headline": "SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)",
