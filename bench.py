@@ -78,8 +78,11 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     from semireward_tpu.core.trainer import Trainer
 
     if mode == "nlp":
-        # usb_nlp geometry (reference fixmatch_aclImdb_100_1.yaml: BERT-base,
-        # bs=4, uratio=1, max_length 512, AdamW lr 5e-5 layer_decay 0.65).
+        # usb_nlp SemiReward geometry (reference config/SemiReward/usb_nlp/
+        # flexmatch/flexmatch_ag_news_40_0.yaml: srflexmatch, BERT-base,
+        # bs=8, uratio=1, max_length 512, AdamW lr 5e-5 layer_decay 0.65,
+        # feature_dim 768, N_k 10), forced into stage 2 (start_timing=0) so
+        # the reward-scoring path is in the measured step like the headline.
         # Data is a deterministic synthetic JSON corpus (zero-egress host);
         # the tokenizer falls back to the hash tokenizer — identical shapes
         # and device work to the real corpus.
@@ -98,7 +101,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             for split, count in (("train", 300), ("dev", 32), ("test", 32)):
                 d = {}
                 for i in range(count):
-                    y = int(rs.randint(2))
+                    y = int(rs.randint(4))
                     text = " ".join(rs.choice(words, 40 + 20 * y))
                     d[str(i)] = {"ori": text, "aug_0": text + " a",
                                  "aug_1": text + " b", "label": y}
@@ -106,16 +109,19 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                     _json.dump(d, f)
             open(_os.path.join(base, "_complete"), "w").close()
         cfg = get_config(dict(
-            algorithm="fixmatch", net="bert_base_uncased", dataset="synthnlp",
-            num_classes=2, num_labels=40, batch_size=4, uratio=1,
-            eval_batch_size=16, max_length=512, optim="AdamW", lr=5e-5,
-            layer_decay=0.65, weight_decay=5e-4, ema_m=0.0, T=0.5,
-            p_cutoff=0.95, num_train_iter=1 << 20, num_eval_iter=1 << 30,
-            num_log_iter=1 << 30, data_dir=root, seed=0,
+            algorithm="srflexmatch", net="bert_base_uncased",
+            dataset="synthnlp", num_classes=4, num_labels=40, batch_size=8,
+            uratio=1, eval_batch_size=16, max_length=512, optim="AdamW",
+            lr=5e-5, layer_decay=0.65, weight_decay=5e-4, ema_m=0.0, T=0.5,
+            p_cutoff=0.95, num_train_iter=102400, num_eval_iter=1 << 30,
+            num_log_iter=1 << 30, start_timing=0, N_k=10, feature_dim=768,
+            sr_ema=sr_ema, data_dir=root, seed=0,
             save_name="bench_nlp", mesh_shape=(-1,)))
     elif mode == "audio":
-        # usb_audio geometry (reference fixmatch_fsdnoisy_1773_0.yaml:
-        # HuBERT-base, bs=8, uratio=1, 4.0 s @ 16 kHz, AdamW lr 5e-5).
+        # usb_audio SemiReward geometry (reference config/SemiReward/
+        # usb_audio/flexmatch/flexmatch_urbansound8k_100_0.yaml: srflexmatch,
+        # HuBERT-base, bs=8, uratio=1, 4.0 s @ 16 kHz, AdamW lr 5e-5
+        # layer_decay 0.75, feature_dim 768, N_k 10), forced into stage 2.
         # Synthetic pkl corpus; identical shapes/device work to the real one.
         import os as _os
         import pickle as _pickle
@@ -133,12 +139,13 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                     _pickle.dump(rows, f)
             open(_os.path.join(base, "_complete"), "w").close()
         cfg = get_config(dict(
-            algorithm="fixmatch", net="hubert_base", dataset="synthaudio",
-            num_classes=10, num_labels=40, batch_size=8, uratio=1,
+            algorithm="srflexmatch", net="hubert_base", dataset="synthaudio",
+            num_classes=10, num_labels=100, batch_size=8, uratio=1,
             eval_batch_size=16, optim="AdamW", lr=5e-5, layer_decay=0.75,
-            weight_decay=5e-4, ema_m=0.0, T=0.5, p_cutoff=0.95,
-            num_train_iter=1 << 20, num_eval_iter=1 << 30,
-            num_log_iter=1 << 30, data_dir=root, seed=0,
+            weight_decay=2e-5, ema_m=0.0, T=0.5, p_cutoff=0.95,
+            num_train_iter=102400, num_eval_iter=1 << 30,
+            num_log_iter=1 << 30, start_timing=0, N_k=10, feature_dim=768,
+            sr_ema=sr_ema, data_dir=root, seed=0,
             save_name="bench_audio", mesh_shape=(-1,)))
     elif mode == "large":
         # classic_cv geometry (reference fixmatch_cifar10_40.yaml family):
@@ -380,6 +387,7 @@ def main():
         extras["vs_baseline_arithmetic"] = vs_arith
         vs_baseline = vs_arith
 
+    if args.mode in ("headline", "nlp", "audio"):
         # Reserve headroom for the arm itself: the measured ref-equivalent
         # run (fresh trainer compile + 150 timed steps) costs minutes, so a
         # run starting just under the budget would still blow the driver's
@@ -413,7 +421,7 @@ def main():
             # forward the A/B flags: the baseline must differ from the
             # measured step ONLY by the restored reference work, or the
             # ratio conflates e.g. the fused-MLP effect with it
-            cfg_r, trainer_r = build_trainer("headline", sr_reforward=8,
+            cfg_r, trainer_r = build_trainer(args.mode, sr_reforward=8,
                                              flat=args.flat,
                                              fused=args.fused,
                                              flash=args.flash_attn)
@@ -457,7 +465,7 @@ def main():
                 if trainer is not None:
                     del trainer  # free the chip (skip-ref-equivalent path)
                     trainer = None
-                cfg_e, trainer_e = build_trainer("headline", sr_ema=True,
+                cfg_e, trainer_e = build_trainer(args.mode, sr_ema=True,
                                                  flat=args.flat,
                                                  fused=args.fused,
                                                  flash=args.flash_attn)

@@ -99,9 +99,14 @@ class Trainer:
 
         self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) \
             if use_mesh else None
-        pure_dp = (self.mesh is not None
-                   and set(self.mesh.axis_names) == {"data"}
-                   and jax.device_count() > 1)
+        # meshes whose axes are all data-like (pure-dp 'data', or the 2-D
+        # data×fsdp ZeRO layout) keep the pallas kernels via the shard_map
+        # wrappers — the batch shards over the product of these axes and
+        # dW psums back over them (ops/fused_mlp.py:batch_shard_axes).
+        # Only 'model' (tensor-parallel) meshes fall back to XLA.
+        datalike_mesh = (self.mesh is not None
+                         and set(self.mesh.axis_names) <= {"data", "fsdp"}
+                         and jax.device_count() > 1)
         builder = NETS.get(cfg.net)
         net_kw = {}
         if "bn_momentum" in cfg.extra:
@@ -109,12 +114,12 @@ class Trainer:
         if cfg.gradient_checkpointing:
             net_kw["remat"] = True
         if cfg.extra.get("use_flash_attention"):
-            # single chip and pure-dp meshes keep the pallas kernel (the
-            # shard_map'd wrapper, ops/attention.py:flash_attention_sharded);
-            # fsdp/model meshes stay on the XLA einsum attention —
-            # pallas_call has no GSPMD partitioning rule, so GSPMD would
-            # all-gather its operands there
-            if self.mesh is None or jax.device_count() == 1 or pure_dp:
+            # single chip and data-like meshes (pure-dp, data×fsdp) keep the
+            # pallas kernel (the shard_map'd wrapper,
+            # ops/attention.py:flash_attention_sharded); 'model' (TP) meshes
+            # stay on the XLA einsum attention — pallas_call has no GSPMD
+            # partitioning rule, so GSPMD would all-gather its operands there
+            if self.mesh is None or jax.device_count() == 1 or datalike_mesh:
                 net_kw["use_flash"] = True
         fused = cfg.extra.get("use_fused_mlp")
         if fused is None and cfg.net.startswith(
@@ -124,18 +129,19 @@ class Trainer:
             # (85.4 vs 73.0 steps/s/chip, v5e — NOTES_DEV round 3); the
             # H=3072 families (ViT-B/BERT/HuBERT/wav2vec2) take its
             # hidden-blocked variant. Engages on a single TPU chip or a
-            # pure-data-parallel mesh (shard_map'd per-shard kernel,
-            # ops/fused_mlp.py:fused_mlp_sharded); fsdp/model meshes keep
-            # the XLA path — pallas_call has no GSPMD partitioning rule,
-            # so GSPMD would all-gather its operands there. Force via
-            # extra['use_fused_mlp'] to override either way.
+            # data-like mesh (pure-dp or data×fsdp; shard_map'd per-shard
+            # kernel, ops/fused_mlp.py:fused_mlp_sharded); 'model' (TP)
+            # meshes keep the XLA path — pallas_call has no GSPMD
+            # partitioning rule, so GSPMD would all-gather its operands
+            # there. Force via extra['use_fused_mlp'] to override either
+            # way.
             from semireward_tpu.ops.fused_mlp import fused_mlp_available
             fused = fused_mlp_available() and (jax.device_count() == 1
-                                              or pure_dp)
+                                              or datalike_mesh)
         if fused:
             net_kw["use_fused_mlp"] = True
-        if pure_dp and (fused or net_kw.get("use_flash")):
-            # the pure-dp mesh both pallas wrappers shard_map over
+        if datalike_mesh and (fused or net_kw.get("use_flash")):
+            # the data-like mesh both pallas wrappers shard_map over
             net_kw["fused_mesh"] = self.mesh
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))

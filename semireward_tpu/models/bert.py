@@ -47,10 +47,11 @@ class BertSelfAttention(nn.Module):
         # and (with use_flash) applies the p=0.1 prob dropout in-kernel via
         # a counter-based hash mask regenerated in the backward — see
         # ops/attention.py module docstring (documented RNG-stream
-        # deviation, DEVIATIONS.md). On a pure-dp mesh the shard_map'd
-        # wrapper keeps the pallas kernel (pallas_call has no GSPMD rule);
+        # deviation, DEVIATIONS.md). On a data-like mesh (pure-dp or
+        # data×fsdp) the shard_map'd wrapper keeps the pallas kernel
+        # (pallas_call has no GSPMD rule);
         # WITHOUT use_flash the pallas path must never engage — the trainer
-        # leaves use_flash unset on fsdp/model meshes precisely because
+        # leaves use_flash unset on 'model' (TP) meshes precisely because
         # pallas_call under GSPMD would all-gather its operands, and that
         # gate has to hold for eval too.
         from semireward_tpu.ops.attention import flash_fn

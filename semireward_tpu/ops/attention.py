@@ -517,11 +517,14 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
 
 def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
                             dropout_seed=None, *, mesh,
-                            data_axis: str = "data", interpret=False,
+                            data_axis=None, interpret=False,
                             force=False):
-    """:func:`flash_attention` under ``shard_map`` for a pure-data-parallel
-    mesh: the batch dim of q/k/v (and a per-sample key bias) shards over
-    ``data_axis``. pallas_call has no GSPMD partitioning rule, so under a
+    """:func:`flash_attention` under ``shard_map`` for data-parallel
+    meshes: the batch dim of q/k/v (and a per-sample key bias) shards over
+    ``data_axis`` (a mesh axis name or tuple; default = every data-like
+    axis in the mesh — 'data', plus 'fsdp' on the 2-D ZeRO layout, where
+    batch-sharding over both axes is FSDP's own compute pattern).
+    pallas_call has no GSPMD partitioning rule, so under a
     plain pjit a multi-device mesh would all-gather the kernel's operands
     (same story as ops/fused_mlp.py:fused_mlp_sharded); this wrapper runs
     the kernel per-shard on local rows instead. Attention has no
@@ -530,17 +533,24 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
     shard's global batch*head start, so the mask stream is BIT-IDENTICAL
     to the single-device kernel (asserted in tests)."""
     from semireward_tpu.ops._compat import shard_map_no_check as shard_map
+    from semireward_tpu.ops.fused_mlp import batch_shard_axes
     from jax.sharding import PartitionSpec as P
 
     B, N, H, d = q.shape
-    ndev = mesh.shape[data_axis]
+    if data_axis is None:
+        data_axis = batch_shard_axes(mesh)
+    elif isinstance(data_axis, str):
+        data_axis = (data_axis,)
+    ndev = 1
+    for a in data_axis:
+        ndev *= mesh.shape[a]
     key_bias_ok = bias is None or _key_bias_of(bias, B, H, N) is not None
     Np_pad = ((N + _BQ - 1) // _BQ) * _BQ
     # overflow guard on the GLOBAL counter: the per-shard kernel check sees
     # only local B, but bh_offset makes the counter global
     drop_ok = (float(dropout_rate) == 0.0
                or B * H * Np_pad * Np_pad < 2 ** 32)
-    if B % ndev != 0 or not key_bias_ok or not drop_ok:
+    if ndev == 0 or B % ndev != 0 or not key_bias_ok or not drop_ok:
         # trace-time fallback (flax-init sample batches, eval remainders,
         # exotic biases): the XLA einsum path partitions fine under GSPMD
         Np = ((N + _BQ - 1) // _BQ) * _BQ
@@ -566,7 +576,12 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
         ql, kl, vl = a[:3]
         bl = a[3] if has_bias else None
         sl = a[3 + int(has_bias)] if drop else None
-        off = jax.lax.axis_index(data_axis) * (local_B * H)
+        # linearized shard index over the batch axes (row-major in the
+        # axis tuple, matching PartitionSpec's product-axis order)
+        idx = jnp.int32(0)
+        for ax in data_axis:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        off = idx * (local_B * H)
         return flash_attention(ql, kl, vl, bias=bl,
                                dropout_rate=dropout_rate, dropout_seed=sl,
                                bh_offset=off, interpret=interpret,

@@ -412,6 +412,29 @@ def _pick_block_h(c: int, h: int) -> Optional[int]:
     return None
 
 
+# scoped-VMEM budget for one dW launch: v5e exposes a 16 MB stack limit to
+# the kernel; leave ~3 MB headroom for compiler spills/alignment (the BERT
+# C=768/bh=768 geometry measured 16.72 MB at row block 256 — 740 KB over)
+_DW_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def _pick_dw_block_m(c: int, bh: int, upper: int) -> int:
+    """Largest dW row block whose per-block VMEM footprint fits the budget.
+    Byte model of _bwd_dw_kernel: double-buffered bf16 x/g row blocks and
+    W1/W2 slices, resident f32 dW accumulators, plus the u/h/dh/dh_lp
+    intermediates and the padded-row-masked x/g copies."""
+    for bm in (256, 128, 64, 32, 16, 8):
+        if bm > upper:
+            continue
+        fixed = 2 * 2 * (c * bh * 2) + 2 * (c * bh * 4)
+        var = (2 * 2 * (bm * c * 2)      # x, g (double-buffered)
+               + 2 * (bm * c * 2)       # masked copies
+               + bm * bh * (4 + 2 + 4 + 2))  # u, h, dh, dh_lp
+        if fixed + var <= _DW_VMEM_BUDGET_BYTES:
+            return bm
+    return 8
+
+
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -476,34 +499,59 @@ def fused_mlp(x, w1, b1, w2, b2, *, block_m: int = 512,
             return (hid @ args[3] + args[4].astype(dt)).reshape(*lead, -1)
     if block_h is not None and block_h < h:
         # the dW launch gets a smaller row block (VMEM peak, see
-        # _bwd_blocked); fwd/dx keep block_m
-        out = _fused_mlp_blocked(*args, block_m, min(block_m, 256),
+        # _bwd_blocked — sized by the byte model in _pick_dw_block_m);
+        # fwd/dx keep block_m
+        out = _fused_mlp_blocked(*args, block_m,
+                                 _pick_dw_block_m(c, block_h, block_m),
                                  block_h, interpret)
     else:
         out = _fused_mlp(*args, block_m, interpret)
     return out.reshape(*lead, -1)
 
 
-def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
+def batch_shard_axes(mesh) -> tuple:
+    """The mesh axes a batch dim shards over for the per-shard pallas
+    kernels: every data-like axis present ('data', and 'fsdp' when the mesh
+    is the 2-D ZeRO layout). On a data×fsdp mesh this makes the kernel
+    (data*fsdp)-way batch-parallel with weights all-gathered into the
+    shard_map — exactly FSDP's compute pattern (params live sharded over
+    'fsdp' between steps; shard_map's replicated in_spec performs the
+    gather, and dW is psum'd back over both axes)."""
+    return tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+
+
+def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis=None,
                       block_m: int = 256, block_h: Optional[int] = None,
                       interpret: Optional[bool] = None):
-    """``fused_mlp`` under ``shard_map`` for a pure-data-parallel mesh:
-    the leading (batch) dim of ``x`` shards over ``data_axis``, weights are
-    replicated. pallas_call has no GSPMD partitioning rule, so under a
+    """``fused_mlp`` under ``shard_map`` for data-parallel meshes: the
+    leading (batch) dim of ``x`` shards over ``data_axis`` (a mesh axis
+    name or tuple of names; default = every data-like axis in the mesh,
+    :func:`batch_shard_axes`), weights are replicated per shard.
+    pallas_call has no GSPMD partitioning rule, so under a
     plain pjit a multi-device mesh would all-gather the kernel's operands;
-    this wrapper runs the kernel per-shard on local rows instead. The
-    backward psums dW/db over the data axis inside the shard_map (the
-    mechanical transpose of a replicated input is an unreduced per-shard
-    partial; ``check_rep=False`` is required because pallas defeats the
-    replication checker, so the reduction must be explicit)."""
+    this wrapper runs the kernel per-shard on local rows instead. On a 2-D
+    data×fsdp mesh the batch shards over BOTH axes (FSDP all-gathers
+    params and computes batch-parallel; the weight gather happens at the
+    shard_map boundary). The backward psums dW/db over the batch axes
+    inside the shard_map (the mechanical transpose of a replicated input
+    is an unreduced per-shard partial; ``check_rep=False`` is required
+    because pallas defeats the replication checker, so the reduction must
+    be explicit)."""
     from semireward_tpu.ops._compat import shard_map_no_check as shard_map
     from jax.sharding import PartitionSpec
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if data_axis is None:
+        data_axis = batch_shard_axes(mesh)
+    elif isinstance(data_axis, str):
+        data_axis = (data_axis,)
+    ndev = 1
+    for a in data_axis:
+        ndev *= mesh.shape[a]
     # block_h passes through unresolved: the inner fused_mlp derives the
     # identical value from the replicated weight shapes
-    if x.shape[0] % mesh.shape[data_axis] != 0:
+    if ndev == 0 or x.shape[0] % ndev != 0:
         # trace-time fallback: flax init runs a 2-row sample batch, and odd
         # eval remainders can't shard evenly — run the plain kernel there
         # (GSPMD gathers its operands; fine off the hot path)
@@ -535,6 +583,7 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis: str = "data",
                 w2l, b2l)
             dx, dw1, db1, dw2, db2 = vjp(gl)
             # replicated-weight cotangents: reduce the per-shard partials
+            # over every batch axis (data, and fsdp on the 2-D layout)
             dw1 = jax.lax.psum(dw1, data_axis)
             db1 = jax.lax.psum(db1, data_axis)
             dw2 = jax.lax.psum(dw2, data_axis)

@@ -240,10 +240,47 @@ def test_sharded_uneven_batch_falls_back(rs):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_2d_mesh_bit_identical(rs):
+    """On the 2-D data×fsdp mesh the batch shards over BOTH axes (the
+    FSDP compute pattern) and the dropout counter offset linearizes the
+    shard index over the axis tuple — still bit-identical to the
+    single-device kernel."""
+    from semireward_tpu.ops.attention import flash_attention_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    B, N, H, d = 8, 136, 2, 32
+    q = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    bias, _ = _key_bias(rs, B, N, N - 13)
+    mesh = mesh_lib.build_mesh((4, 2), ("data", "fsdp"))
+
+    def loss_sh(q, k, v):
+        out = flash_attention_sharded(q, k, v, bias=bias, dropout_rate=0.1,
+                                      dropout_seed=42, mesh=mesh,
+                                      interpret=True, force=True)
+        return (out ** 2).sum(), out
+
+    def loss_1(q, k, v):
+        out = flash_attention(q, k, v, bias=bias, dropout_rate=0.1,
+                              dropout_seed=42, interpret=True, force=True)
+        return (out ** 2).sum(), out
+
+    (_, o_sh), g_sh = jax.value_and_grad(loss_sh, argnums=(0, 1, 2),
+                                         has_aux=True)(q, k, v)
+    (_, o_1), g_1 = jax.value_and_grad(loss_1, argnums=(0, 1, 2),
+                                       has_aux=True)(q, k, v)
+    np.testing.assert_array_equal(np.asarray(o_sh), np.asarray(o_1))
+    for a, b in zip(g_sh, g_1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_trainer_mesh_gating(tmp_path):
-    """use_flash_attention on an 8-way pure-dp mesh wires the shard_map'd
-    kernel (fused_mesh) and trains; on an fsdp mesh the trainer must KEEP
-    the XLA einsum attention (pallas_call has no GSPMD rule)."""
+    """use_flash_attention on an 8-way pure-dp mesh AND on the 2-D
+    data×fsdp mesh wires the shard_map'd kernel (fused_mesh) and trains;
+    only a 'model' (TP) mesh falls back to the XLA einsum attention
+    (pallas_call has no GSPMD rule)."""
     import semireward_tpu as st
 
     base = dict(
@@ -262,9 +299,21 @@ def test_trainer_mesh_gating(tmp_path):
     tr.fit()
     assert np.isfinite(tr.evaluate()["loss"])
 
+    # 2-D data×fsdp: kernel kept (VERDICT r3 weak #4 — the pod stretch
+    # layout must not lose the pallas path)
     cfg2 = st.get_config(dict(mesh_shape=(2, 4),
                               mesh_axes=("data", "fsdp"), **base))
     cfg2.extra["use_flash_attention"] = True
     cfg2.extra["net_kwargs"] = dict(kwargs)
     tr2 = st.Trainer(cfg2)
-    assert not tr2.model.use_flash
+    assert tr2.model.use_flash and tr2.model.fused_mesh is not None
+    tr2.fit()
+    assert np.isfinite(tr2.evaluate()["loss"])
+
+    # TP mesh: XLA attention (no GSPMD rule for pallas_call)
+    cfg3 = st.get_config(dict(mesh_shape=(2, 4),
+                              mesh_axes=("data", "model"), **base))
+    cfg3.extra["use_flash_attention"] = True
+    cfg3.extra["net_kwargs"] = dict(kwargs)
+    tr3 = st.Trainer(cfg3)
+    assert not tr3.model.use_flash

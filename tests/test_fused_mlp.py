@@ -146,6 +146,63 @@ def test_sharded_matches_single_device(weights):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_2d_mesh_matches_single_device(weights):
+    """On the 2-D data×fsdp mesh the rows shard over the PRODUCT of both
+    axes (FSDP's own compute pattern: gather weights, batch-parallel
+    compute, reduce dW over data AND fsdp) — numerics must match the
+    single-device kernel (VERDICT r3 weak #4)."""
+    from semireward_tpu.ops.fused_mlp import fused_mlp_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    x, w1, b1, w2, b2 = weights
+    x3 = x[:32].reshape(8, 4, C)
+    mesh = mesh_lib.build_mesh((4, 2), ("data", "fsdp"))
+
+    def loss_sh(a):
+        out = fused_mlp_sharded(x3, *a, mesh=mesh, block_m=16,
+                                interpret=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_1(a):
+        return (fused_mlp(x3.reshape(-1, C), *a, block_m=16,
+                          interpret=True).astype(jnp.float32) ** 2).sum()
+
+    args = (w1, b1, w2, b2)
+    v_sh, g_sh = jax.value_and_grad(loss_sh)(args)
+    v_1, g_1 = jax.value_and_grad(loss_1)(args)
+    np.testing.assert_allclose(float(v_sh), float(v_1), rtol=1e-4)
+    for a, b in zip(g_1, g_sh):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.01 * scale)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_trainer_fsdp_mesh_uses_sharded_kernel(tmp_path):
+    """Forcing use_fused_mlp on a 2-D data×fsdp mesh must keep the
+    shard_map'd kernel (fused_mesh) — with params living SHARDED over
+    'fsdp' between steps — and train end-to-end under the GSPMD-jitted
+    step."""
+    import semireward_tpu as st
+
+    cfg = st.get_config(dict(
+        algorithm="fixmatch", dataset="synthetic", net="vit_tiny_patch2_32",
+        num_classes=4, num_labels=8, batch_size=8, uratio=1,
+        eval_batch_size=8, img_size=8, crop_ratio=1.0, ema_m=0.0,
+        num_train_iter=2, num_eval_iter=4, num_log_iter=1, epoch=1,
+        mesh_shape=(2, 4), mesh_axes=("data", "fsdp"),
+        save_dir=str(tmp_path)))
+    cfg.extra["use_fused_mlp"] = True
+    cfg.extra["net_kwargs"] = dict(embed_dim=64, depth=1, num_heads=4,
+                                   patch_size=4)
+    tr = st.Trainer(cfg)
+    assert tr.model.use_fused_mlp and tr.model.fused_mesh is not None
+    tr.fit()
+    res = tr.evaluate()
+    assert np.isfinite(res["loss"])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_trainer_dp_mesh_uses_sharded_kernel(tmp_path):
     """Forcing use_fused_mlp on an 8-way pure-dp mesh must wire the
     shard_map'd kernel (fused_mesh) through the builder and train
