@@ -476,8 +476,8 @@ def main():
     metric = {
         "headline": "SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)",
         "large": "SSL steps/sec/chip (classic_cv WRN-28-2 FixMatch, bs64 u7)",
-        "nlp": "SSL steps/sec/chip (usb_nlp BERT-base FixMatch, bs4 u1 L512)",
-        "audio": "SSL steps/sec/chip (usb_audio HuBERT-base FixMatch, bs8 u1 4s)",
+        "nlp": "SSL steps/sec/chip (usb_nlp BERT-base FlexMatch+SR stage-2, bs8 u1 L512)",
+        "audio": "SSL steps/sec/chip (usb_audio HuBERT-base FlexMatch+SR stage-2, bs8 u1 4s)",
     }[args.mode]
     print(json.dumps({
         "metric": metric,

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""JPEG-folder loader throughput vs chip demand (VERDICT r3 next #2).
+
+Fabricates a JPEG corpus in the semi_aves list layout, then measures:
+  - decode throughput of ``JPEGFolderDataset.gather`` (threaded pool vs
+    forced-sequential), images/s at the usb_cv-224 and imagenet-224
+    geometries;
+  - the chip-demand line: images/s the training step consumes at a given
+    measured step rate (``--steps-per-sec``, e.g. from BENCH extras), or a
+    live-measured one with ``--live`` on a TPU;
+  - end-to-end ``SSLLoader`` batches/s with the background
+    ``PrefetchLoader`` (depth 2, the trainer default) vs without.
+
+Prints one JSON line; paste the numbers into docs/benchmark.md.
+
+Reference anchor: the reference feeds these sets through torch DataLoader
+worker processes (semilearn/datasets/cv_datasets/imagenet.py:46-169); the
+TPU-host analogue is the shared decode thread pool + prefetch thread
+(semireward_tpu/data/cv_extra.py, data/loader.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fabricate_corpus(root: str, n: int, side: int, quality: int = 85):
+    """n JPEGs around `side` px (variable sizes like real photos)."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        p = os.path.join(root, f"img_{i:05d}.jpg")
+        if not os.path.exists(p):
+            h = side + int(rs.randint(-side // 4, side // 4))
+            w = side + int(rs.randint(-side // 4, side // 4))
+            # low-frequency content compresses like a natural photo
+            small = rs.randint(0, 255, (h // 8, w // 8, 3), np.uint8)
+            im = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+            im.save(p, quality=quality)
+        paths.append(p)
+    return paths
+
+
+def measure_gather(ds, batch, n_batches, seq=False):
+    import semireward_tpu.data.cv_extra as cx
+
+    rs = np.random.RandomState(1)
+    if seq:  # force the sequential path through a 1-thread pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        old = cx._DECODE_POOL
+        cx._DECODE_POOL = ThreadPoolExecutor(max_workers=1)
+    try:
+        ds.gather(rs.randint(0, len(ds), batch))  # warm file cache
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            ds.gather(rs.randint(0, len(ds), batch))
+        dt = time.perf_counter() - t0
+    finally:
+        if seq:
+            cx._DECODE_POOL.shutdown()
+            cx._DECODE_POOL = old
+    return batch * n_batches / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=256)
+    ap.add_argument("--src-side", type=int, default=400,
+                    help="fabricated source JPEG size (real-photo-ish)")
+    ap.add_argument("--img-size", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=48,
+                    help="images/step: usb_cv bs16 u1 -> 48 @224 "
+                         "(16 lb + 2*16 ulb)")
+    ap.add_argument("--n-batches", type=int, default=20)
+    ap.add_argument("--steps-per-sec", type=float, default=None,
+                    help="measured train step rate for the demand line "
+                         "(e.g. BENCH extras); demand = sps * batch")
+    ap.add_argument("--root", default=None)
+    args = ap.parse_args()
+
+    from semireward_tpu.data.cv_extra import JPEGFolderDataset
+    from semireward_tpu.data.datasets import ArrayDataset, SSLDataBundle
+    from semireward_tpu.data.loader import PrefetchLoader, SSLLoader
+
+    root = args.root or os.path.join(tempfile.gettempdir(),
+                                     f"loaderbench_{args.src_side}")
+    t0 = time.perf_counter()
+    paths = fabricate_corpus(root, args.n_images, args.src_side)
+    print(f"[{time.perf_counter()-t0:5.1f}s] corpus ready: "
+          f"{len(paths)} JPEGs ~{args.src_side}px", file=sys.stderr)
+
+    ds = JPEGFolderDataset(paths, np.zeros(len(paths), np.int64),
+                           img_size=args.img_size)
+    seq_ips = measure_gather(ds, args.batch, args.n_batches, seq=True)
+    print(f"[{time.perf_counter()-t0:5.1f}s] sequential decode: "
+          f"{seq_ips:.1f} img/s", file=sys.stderr)
+    pool_ips = measure_gather(ds, args.batch, args.n_batches, seq=False)
+    print(f"[{time.perf_counter()-t0:5.1f}s] pooled decode:     "
+          f"{pool_ips:.1f} img/s", file=sys.stderr)
+
+    # end-to-end loader batches/s: lb stream (in-RAM) + ulb stream (JPEG)
+    lb = ArrayDataset(np.zeros((64, args.img_size, args.img_size, 3),
+                               np.uint8), np.zeros(64, np.int64))
+    bundle = SSLDataBundle(train_lb=lb, train_ulb=ds, eval=lb,
+                           num_classes=1, mean=(0.5,) * 3, std=(0.5,) * 3)
+    base = SSLLoader(bundle, 16, 16, seed=0)
+    next(base)
+    t1 = time.perf_counter()
+    for _ in range(args.n_batches):
+        next(base)
+    base_bps = args.n_batches / (time.perf_counter() - t1)
+
+    pf = PrefetchLoader(SSLLoader(bundle, 16, 16, seed=0), depth=2)
+    next(pf)
+    time.sleep(0.3)  # let the queue fill: steady-state, not cold-start
+    t1 = time.perf_counter()
+    for _ in range(args.n_batches):
+        next(pf)
+    pf_bps = args.n_batches / (time.perf_counter() - t1)
+    pf.close()
+
+    out = {
+        "geometry": {"src_side": args.src_side, "img_size": args.img_size,
+                     "batch": args.batch},
+        "host_cpus": os.cpu_count(),
+        "decode_seq_images_per_sec": round(seq_ips, 1),
+        "decode_pool_images_per_sec": round(pool_ips, 1),
+        "loader_batches_per_sec": round(base_bps, 2),
+        "loader_prefetch_batches_per_sec": round(pf_bps, 2),
+        "loader_images_per_sec": round(base_bps * 48, 1),
+    }
+    if args.steps_per_sec:
+        demand = args.steps_per_sec * args.batch
+        out["chip_demand_images_per_sec"] = round(demand, 1)
+        out["loader_headroom"] = round(pool_ips / demand, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -314,10 +314,26 @@ class SemiRewardWrapper(Algorithm):
                         b["x_lb"], b["x_ulb_w"], x_s, ctx.rng,
                         train=True, use_cat=cfg.use_cat, stop_grad_w=True)
 
+                # modality-aware identity perturbations (x_ulb_s is a dict
+                # of int32 token ids for NLP): float leaves take the
+                # 1e-45 scale; int leaves add an induction-variable- or
+                # eps-dependent exact zero (min(i,0) / (eps*0).astype —
+                # neither foldable without cross-iteration range analysis
+                # or fastmath, which XLA doesn't apply)
+                def _loop_perturb(x, i):
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return x * (1.0 + i.astype(jnp.float32) * 1e-45)
+                    return x + jnp.minimum(i, 0).astype(x.dtype)
+
+                def _final_perturb(x, eps):
+                    if jnp.issubdtype(x.dtype, jnp.floating):
+                        return x + eps * 1e-45
+                    return x + (eps * 0.0).astype(x.dtype)
+
                 def body(i, carry):
                     st, _mask, _eps = carry
-                    scale = 1.0 + i.astype(jnp.float32) * 1e-45
-                    f_i = refwd(b["x_ulb_s"] * scale)
+                    f_i = refwd(jax.tree_util.tree_map(
+                        lambda x: _loop_perturb(x, i), b["x_ulb_s"]))
                     probs_i = C.compute_prob(f_i.logits_x_ulb_w)
                     st, mask_i = self._remask(st, probs_i, idx_ulb)
                     r_i = self.rewarder.apply({"params": sr.rewarder_params},
@@ -331,7 +347,8 @@ class SemiRewardWrapper(Algorithm):
                     jax.lax.stop_gradient,
                     jax.lax.fori_loop(0, n_ref - 1, body,
                                       (st0, m0, jnp.float32(0.0))))
-                f_last = refwd(b["x_ulb_s"] + eps * 1e-45)
+                f_last = refwd(jax.tree_util.tree_map(
+                    lambda x: _final_perturb(x, eps), b["x_ulb_s"]))
                 logits_s, feats_w = f_last.logits_x_ulb_s, f_last.feats_x_ulb_w
             elif self._remask_is_stateful():
                 # replicate the sr_decay()-iteration masking-state side

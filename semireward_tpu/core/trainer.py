@@ -464,6 +464,15 @@ class Trainer:
                                                  cfg.num_wu_iter))
                                if needs_wu else 0)
         loader = self._make_loader()
+        # background prefetch (depth 2 by default; extra['prefetch_depth']
+        # overrides, 0 disables): a producer thread assembles batches —
+        # JPEG decode on the folder datasets, gather/collate elsewhere —
+        # while the device steps. Order is FIFO through one producer, so
+        # the batch stream (and reproducibility) is unchanged.
+        depth = int(cfg.extra.get("prefetch_depth", 2))
+        if depth > 0:
+            from semireward_tpu.data.loader import PrefetchLoader
+            loader = PrefetchLoader(loader, depth=depth)
         log = self.logger.info
         results: Dict[str, float] = {}
         metrics_acc = None
@@ -551,6 +560,9 @@ class Trainer:
                 t0 = time.time()
                 window_start = step_now
                 prefetch_acc = 0.0
+
+        if hasattr(loader, "close"):
+            loader.close()  # stop the prefetch producer thread
 
         # after_run protocol (reference hooks/evaluation.py:31-54): reload
         # the best checkpoint and evaluate the test split when one exists

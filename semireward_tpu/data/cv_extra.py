@@ -133,11 +133,30 @@ def load_rcf_mnist(data_dir: str):
     return load_regression_folder(data_dir, "rcf_mnist")
 
 
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared JPEG-decode thread pool (PIL decode and resize release the
+    GIL, so threads overlap both the libjpeg work and file IO — the
+    TPU-host analogue of the reference's num_workers DataLoader processes,
+    imagenet.py:46-169 via torch DataLoader)."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = min(8, max(2, (os.cpu_count() or 1)))
+        _DECODE_POOL = ThreadPoolExecutor(
+            max_workers=n, thread_name_prefix="jpeg-decode")
+    return _DECODE_POOL
+
+
 class JPEGFolderDataset:
     """Lazy-decode image-folder dataset (semi_aves / food101 / imagenet
     layouts). Decoding happens per batch at gather() time — the loader-side
     analogue of the reference's PIL-in-worker decode; resize to img_size
-    happens here so device buffers stay fixed-shape."""
+    happens here so device buffers stay fixed-shape. Decode is fanned out
+    over a shared thread pool (PIL releases the GIL)."""
 
     def __init__(self, paths, targets, img_size: int = 224):
         self.paths = paths
@@ -152,14 +171,24 @@ class JPEGFolderDataset:
         return JPEGFolderDataset([self.paths[int(i)] for i in idx],
                                  self.targets[idx], self.img_size)
 
-    def gather(self, idx):
+    def _decode_one(self, path, out, j):
         from PIL import Image
 
+        im = Image.open(path).convert("RGB")
+        im = im.resize((self.img_size, self.img_size), Image.BILINEAR)
+        out[j] = np.asarray(im)
+
+    def gather(self, idx):
         out = np.empty((len(idx), self.img_size, self.img_size, 3), np.uint8)
-        for j, i in enumerate(idx):
-            im = Image.open(self.paths[int(i)]).convert("RGB")
-            im = im.resize((self.img_size, self.img_size), Image.BILINEAR)
-            out[j] = np.asarray(im)
+        if len(idx) <= 2:
+            for j, i in enumerate(idx):
+                self._decode_one(self.paths[int(i)], out, j)
+            return out
+        futs = [_decode_pool().submit(self._decode_one, self.paths[int(i)],
+                                      out, j)
+                for j, i in enumerate(idx)]
+        for f in futs:
+            f.result()  # surface decode errors, in order
         return out
 
 

@@ -148,6 +148,57 @@ class SSLLoader:
         return out
 
 
+class PrefetchLoader:
+    """Background-thread prefetch over any (infinite) batch iterator.
+
+    Overlaps host-side batch assembly (JPEG decode, row gather, collate)
+    with device steps: a single producer thread fills a bounded FIFO
+    queue, so batch order — and therefore run reproducibility — is
+    unchanged. The consumer blocks only when the queue is empty; that
+    wait is the true loader-starvation signal surfaced as
+    ``train/prefetch_time`` (the analogue of the reference TimerHook's
+    metric, core/hooks/timer.py:13-27). Producer exceptions re-raise on
+    the consumer side."""
+
+    def __init__(self, loader, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._thr = threading.Thread(target=self._run, args=(loader,),
+                                     name="batch-prefetch", daemon=True)
+        self._thr.start()
+
+    def _run(self, loader):
+        import queue
+
+        try:
+            for b in loader:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(b, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except BaseException as e:  # surface on the consumer thread
+            self._q.put(e)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+
+
 def get_data_loader(bundle: SSLDataBundle, cfg=None, batch_size: int = 8,
                     ulb_batch_size: Optional[int] = None, seed: int = 0,
                     sampler: str = "RandomSampler") -> SSLLoader:

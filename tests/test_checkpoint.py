@@ -118,3 +118,75 @@ def test_structure_mismatch_raises(tmp_path):
                                  jnp.zeros((2, 32, 32, 3)))
     with pytest.raises(ValueError):
         ckpt.load_checkpoint(path, state2)
+
+
+def test_mid_stage2_resume_sr_trajectory_bitwise(tmp_path, rs):
+    """Checkpoint taken MID-STAGE-2 (past start_timing, between N_k
+    boundaries) and resumed: the SR state machine's trajectory —
+    max_reward bookkeeping, rewarder/generator params + their Adam
+    moments, keep-rate — must continue BIT-identically to the
+    uninterrupted run (VERDICT r3 next #5). The reference cannot express
+    this test: it never checkpoints rewarder/generator/max_reward at all
+    (SURVEY §5.4)."""
+    cfg = get_config(dict(
+        algorithm="srflexmatch", net="wrn_28_2", num_classes=4, batch_size=4,
+        uratio=1, num_train_iter=64, lr=0.01, optim="SGD", ema_m=0.999,
+        img_size=32, compute_dtype="float32", start_timing=3, N_k=2,
+        feature_dim=128, p_cutoff=0.0))
+    model = NETS.get("wrn_28_2")(num_classes=4, dtype=jnp.float32)
+    alg = ALGORITHMS.get("srflexmatch")(cfg, {"ulb_dest_len": 32})
+    state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 32, 32, 3)))
+    step = jax.jit(make_train_step(cfg, alg, model, tx))
+
+    def batch_at(i):
+        # deterministic per-step batches so both runs replay the stream
+        r = np.random.RandomState(1000 + i)
+        return dict(
+            x_lb=jnp.asarray(r.randn(4, 32, 32, 3), jnp.float32),
+            y_lb=jnp.asarray(r.randint(0, 4, 4)),
+            idx_ulb=jnp.asarray(r.choice(32, 4, replace=False), jnp.int32),
+            x_ulb_w=jnp.asarray(r.randn(4, 32, 32, 3), jnp.float32),
+            x_ulb_s=jnp.asarray(r.randn(4, 32, 32, 3), jnp.float32))
+
+    # run 6 steps: stage 2 from step 4 (> start_timing=3); N_k=2 means a
+    # snapshot-train boundary hits at step 6, so step 7 (mid-cycle) is a
+    # genuinely mid-stage-2 resume point
+    for i in range(7):
+        state, _ = step(state, batch_at(i))
+    assert int(state.step) == 7 and int(state.step) > cfg.start_timing
+
+    path = str(tmp_path / "mid_stage2.ckpt")
+    ckpt.save_checkpoint(path, state, {"it": int(state.step)})
+
+    # uninterrupted continuation, recording the SR trajectory
+    cont, traj = state, []
+    for i in range(7, 13):
+        cont, m = step(cont, batch_at(i))
+        traj.append((float(cont.sr.max_reward),
+                     np.asarray(jax.tree_util.tree_leaves(
+                         cont.sr.rewarder_params)[0]),
+                     np.asarray(jax.tree_util.tree_leaves(
+                         cont.sr.rewarder_opt)[0]),
+                     float(m["sr_keep_ratio"])))
+
+    # fresh state, resumed from the mid-stage-2 checkpoint
+    fresh, _ = init_train_state(cfg, alg, model, jax.random.PRNGKey(7),
+                                jnp.zeros((2, 32, 32, 3)))
+    resumed, extra = ckpt.load_checkpoint(path, fresh)
+    assert extra["it"] == 7
+    for t, i in enumerate(range(7, 13)):
+        resumed, m = step(resumed, batch_at(i))
+        mr, rp, mu, keep = traj[t]
+        assert float(resumed.sr.max_reward) == mr  # bitwise
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(
+                resumed.sr.rewarder_params)[0]), rp)
+        assert float(m["sr_keep_ratio"]) == keep
+    # full-state bitwise identity at the horizon
+    for a, b in zip(jax.tree_util.tree_leaves(cont.sr),
+                    jax.tree_util.tree_leaves(resumed.sr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(cont.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

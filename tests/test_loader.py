@@ -120,3 +120,65 @@ class TestNativeGather:
         src = rs.rand(4096, 512).astype(np.float32)  # >1MB: native path
         idx = rs.randint(0, 4096, size=333)
         np.testing.assert_array_equal(_native.gather_rows(src, idx), src[idx])
+
+
+class TestPrefetchLoader:
+    def test_order_preserved(self):
+        """Single producer + FIFO queue: the batch stream must be identical
+        to the unwrapped loader (run reproducibility)."""
+        from semireward_tpu.data.loader import PrefetchLoader
+
+        a = SSLLoader(_bundle(), 4, 8, seed=3)
+        b = PrefetchLoader(SSLLoader(_bundle(), 4, 8, seed=3), depth=3)
+        try:
+            for _ in range(12):
+                ba, bb = next(a), next(b)
+                for k in ba:
+                    np.testing.assert_array_equal(ba[k], bb[k])
+        finally:
+            b.close()
+
+    def test_exception_propagates(self):
+        from semireward_tpu.data.loader import PrefetchLoader
+
+        def boom():
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("decode failed")
+
+        p = PrefetchLoader(boom(), depth=2)
+        assert next(p)["x"].shape == (1,)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(p)
+        p.close()
+
+    def test_close_stops_producer(self):
+        from semireward_tpu.data.loader import PrefetchLoader
+
+        p = PrefetchLoader(SSLLoader(_bundle(), 4, 8, seed=0), depth=1)
+        next(p)
+        p.close()
+        p._thr.join(timeout=5)
+        assert not p._thr.is_alive()
+
+
+class TestJPEGThreadedDecode:
+    def test_gather_matches_sequential(self, tmp_path):
+        """Thread-pool gather must produce the same batch as one-by-one
+        decode (order by position, not completion)."""
+        from PIL import Image
+        from semireward_tpu.data.cv_extra import JPEGFolderDataset
+
+        rs = np.random.RandomState(0)
+        paths = []
+        for i in range(12):
+            p = tmp_path / f"im{i}.jpg"
+            Image.fromarray(
+                rs.randint(0, 255, (37 + i, 41, 3), np.uint8)).save(p)
+            paths.append(str(p))
+        ds = JPEGFolderDataset(paths, np.arange(12), img_size=16)
+        idx = np.array([5, 0, 11, 3, 3, 7, 1, 9])
+        got = ds.gather(idx)
+        exp = np.empty((len(idx), 16, 16, 3), np.uint8)
+        for j, i in enumerate(idx):
+            ds._decode_one(paths[int(i)], exp, j)
+        np.testing.assert_array_equal(got, exp)

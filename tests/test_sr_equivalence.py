@@ -163,3 +163,43 @@ def test_ref_equivalent_reforward_is_loss_equivalent():
                     jax.tree_util.tree_leaves(s_ref.algo)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ref_equivalent_reforward_nlp_dict_batch():
+    """The ref-equivalent re-forward scaffold must trace with NLP dict
+    batches (int32 token ids): the anti-DCE perturbation is modality-aware
+    (float leaves scale by 1+i*1e-45; int leaves add an exact,
+    non-foldable zero). Regression for the bench --mode nlp ref arm."""
+    from semireward_tpu.models.bert import ClassificationBert
+    from semireward_tpu.config import get_config
+
+    rs = np.random.RandomState(0)
+    cfg = get_config(dict(algorithm="srflexmatch", num_classes=2,
+                          batch_size=2, uratio=1, num_train_iter=8,
+                          optim="AdamW", lr=1e-4, ema_m=0.0,
+                          max_length=16, compute_dtype="float32",
+                          start_timing=0, N_k=2, feature_dim=32,
+                          use_cat=False))
+    cfg.extra["sr_reforward"] = 3
+    model = ClassificationBert(num_classes=2, vocab_size=200, hidden=32,
+                               layers=1, heads=2, intermediate=64,
+                               max_position=16, dtype=jnp.float32)
+    alg = ALGORITHMS.get("srflexmatch")(cfg, {"ulb_dest_len": 16,
+                                              "num_features": 32})
+    sample = {"input_ids": jnp.zeros((2, 16), jnp.int32),
+              "attention_mask": jnp.ones((2, 16), jnp.int32)}
+    from semireward_tpu.core.step import init_train_state as _init
+    state, tx = _init(cfg, alg, model, jax.random.PRNGKey(0), sample)
+    step = jax.jit(make_train_step(cfg, alg, model, tx))
+
+    def tok(n):
+        return {"input_ids": jnp.asarray(rs.randint(1, 200, (n, 16)),
+                                         jnp.int32),
+                "attention_mask": jnp.ones((n, 16), jnp.int32)}
+
+    for i in range(2):
+        batch = dict(x_lb=tok(2), y_lb=jnp.asarray([0, 1]),
+                     x_ulb_w=tok(2), x_ulb_s=tok(2),
+                     idx_ulb=jnp.asarray([2 * i, 2 * i + 1], jnp.int32))
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["total_loss"]))
