@@ -73,7 +73,8 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
 
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
-                  sr_ema: bool = False, fused=None, flash: bool = False):
+                  sr_ema: bool = False, fused=None, flash: bool = False,
+                  use_cat: bool | None = None):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -116,6 +117,10 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             p_cutoff=0.95, num_train_iter=102400, num_eval_iter=1 << 30,
             num_log_iter=1 << 30, start_timing=0, N_k=10, feature_dim=768,
             sr_ema=sr_ema, data_dir=root, seed=0,
+            # reference yaml sets use_cat: False for the NLP suite —
+            # that's the parity geometry; --use-cat measures the fused
+            # single-forward variant (loss-equivalent for stat-free nets)
+            use_cat=False if use_cat is None else use_cat,
             save_name="bench_nlp", mesh_shape=(-1,)))
     elif mode == "audio":
         # usb_audio SemiReward geometry (reference config/SemiReward/
@@ -146,6 +151,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             num_train_iter=102400, num_eval_iter=1 << 30,
             num_log_iter=1 << 30, start_timing=0, N_k=10, feature_dim=768,
             sr_ema=sr_ema, data_dir=root, seed=0,
+            use_cat=False if use_cat is None else use_cat,
             save_name="bench_audio", mesh_shape=(-1,)))
     elif mode == "large":
         # classic_cv geometry (reference fixmatch_cifar10_40.yaml family):
@@ -292,6 +298,10 @@ def main():
                         "TPU ViT)")
     p.add_argument("--no-fused", dest="fused", action="store_false",
                    help="force the pallas fused MLP OFF (A/B baseline)")
+    p.add_argument("--use-cat", action="store_true", default=None,
+                   help="nlp/audio modes: force use_cat=True (one fused "
+                        "concat forward) instead of the reference yaml's "
+                        "use_cat: False three-forward geometry")
     p.add_argument("--flash-attn", action="store_true",
                    help="run the training step with Pallas flash attention "
                         "(in-kernel padding bias + prob dropout; the "
@@ -319,7 +329,8 @@ def main():
 
     _progress(t_start, "building trainer")
     cfg, trainer = build_trainer(args.mode, flat=args.flat,
-                                 fused=args.fused, flash=args.flash_attn)
+                                 fused=args.fused, flash=args.flash_attn,
+                                 use_cat=args.use_cat)
     _progress(t_start, "measuring step rate (compile on first step)")
     steps_per_sec = measure_steps(trainer, cfg)
     _progress(t_start, f"step rate done: {steps_per_sec:.1f}/s")
@@ -368,6 +379,7 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "device": str(jax.devices()[0]),
         "fused_mlp": bool(getattr(trainer.model, "use_fused_mlp", False)),
+        "use_cat": bool(cfg.use_cat),
     }
 
     vs_baseline = None
@@ -424,7 +436,8 @@ def main():
             cfg_r, trainer_r = build_trainer(args.mode, sr_reforward=8,
                                              flat=args.flat,
                                              fused=args.fused,
-                                             flash=args.flash_attn)
+                                             flash=args.flash_attn,
+                                             use_cat=args.use_cat)
             ref_sps = measure_steps(trainer_r, cfg_r, n_steps=100) / n_chips
             ref_sps_sync = measure_steps(trainer_r, cfg_r, n_steps=50,
                                          host_fetch=True) / n_chips
@@ -468,7 +481,8 @@ def main():
                 cfg_e, trainer_e = build_trainer(args.mode, sr_ema=True,
                                                  flat=args.flat,
                                                  fused=args.fused,
-                                                 flash=args.flash_attn)
+                                                 flash=args.flash_attn,
+                                                 use_cat=args.use_cat)
                 extras["sr_ema_steps_per_sec"] = round(
                     measure_steps(trainer_e, cfg_e) / n_chips, 3)
                 del trainer_e

@@ -136,21 +136,53 @@ def test_examples_run(tmp_path):
         assert "top-1-acc" in out.stdout
 
 
-def test_notebooks_in_sync():
-    """notebooks/*.ipynb are generated from examples/*.py — regeneration
-    must be a no-op (scripts/make_notebooks.py is the sync tool)."""
-    import json
+def _load_mknb():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
         "mknb", os.path.join(REPO, "scripts", "make_notebooks.py"))
     mknb = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mknb)
+    return mknb
+
+
+def test_notebooks_in_sync():
+    """notebooks/*.ipynb cell SOURCES are generated from examples/*.py —
+    regeneration must be a no-op up to executed outputs
+    (scripts/make_notebooks.py is the sync tool)."""
+    import json
+
+    mknb = _load_mknb()
     for py, nb in mknb.PAIRS.items():
         with open(os.path.join(REPO, py)) as f:
-            cells = mknb.to_cells(f.read())
+            cells = mknb.parse_percent_cells(f.read())
+        want = mknb.to_notebook(cells)["cells"]
         with open(os.path.join(REPO, nb)) as f:
-            assert json.load(f)["cells"] == cells, f"{nb} out of sync"
+            got = json.load(f)["cells"]
+        assert [c["source"] for c in got] == [c["source"] for c in want], \
+            f"{nb} out of sync with {py}"
+        assert [c["cell_type"] for c in got] == \
+            [c["cell_type"] for c in want]
+        # tutorial depth: a real multi-cell walkthrough, not a 2-cell shell
+        assert sum(1 for c in got if c["cell_type"] == "markdown") >= 4, nb
+        assert sum(1 for c in got if c["cell_type"] == "code") >= 3, nb
+
+
+def test_notebooks_committed_with_executed_outputs():
+    """The shipped notebooks carry EXECUTED output cells (the reference's
+    walkthroughs show results; `make_notebooks.py --execute` regenerates
+    them)."""
+    import json
+
+    mknb = _load_mknb()
+    for nb in mknb.PAIRS.values():
+        with open(os.path.join(REPO, nb)) as f:
+            cells = json.load(f)["cells"]
+        outs = [o for c in cells if c["cell_type"] == "code"
+                for o in c.get("outputs", [])]
+        text = "".join("".join(o.get("text", [])) for o in outs)
+        assert outs, f"{nb}: no executed outputs"
+        assert "top-1-acc" in text or "eval/" in text, f"{nb}: {text[:200]}"
 
 
 def test_quality_artifacts_median_gain_contract():
