@@ -59,13 +59,19 @@ def chip_peak_flops() -> float | None:
 
 
 def vit_step_flops(params: int, tokens: int, images: int, hidden: int,
-                   layers: int) -> float:
-    """Analytic fwd+bwd FLOPs per optimizer step for a ViT:
-    dense ~= 2*P*N fwd + 4*P*N bwd = 6*P*N per image, attention
-    ~= (6 fwd + 12 bwd)*N^2*H per layer per image (scores + AV, fwd+bwd)."""
-    dense = 6.0 * params * tokens
-    attn = 18.0 * tokens * tokens * hidden * layers
-    return (dense + attn) * images
+                   layers: int, images_bwd: int | None = None) -> float:
+    """Analytic FLOPs per optimizer step for a ViT/transformer:
+    dense ~= 2*P*N fwd + 4*P*N bwd per image, attention ~= 6*N^2*H fwd +
+    12*N^2*H bwd per layer per image (scores + AV). ``images_bwd`` <
+    ``images`` models the use_cat=False geometry, where the weak ulb view
+    is a stop-gradient forward (the reference's NLP/audio suites): those
+    images pay fwd only."""
+    if images_bwd is None:
+        images_bwd = images
+    dense = 2.0 * params * tokens * images + 4.0 * params * tokens * images_bwd
+    attn_unit = tokens * tokens * hidden * layers
+    attn = 6.0 * attn_unit * images + 12.0 * attn_unit * images_bwd
+    return dense + attn
 
 
 def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
@@ -74,7 +80,7 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                   sr_ema: bool = False, fused=None, flash: bool = False,
-                  use_cat: bool | None = None):
+                  use_cat: bool | None = None, split_fwd: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -178,6 +184,11 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             N_k=10, feature_dim=384, sr_ema=sr_ema,
             seed=0, save_name="bench", mesh_shape=(-1,)))
     cfg.extra["synthetic_train"] = 2048
+    if split_fwd:
+        # loss-equivalent split forward (algorithms/base.py): the weak ulb
+        # view runs forward-only on stat-free nets — A/B arm for the
+        # headline ViT geometry, which the reference runs use_cat=True
+        cfg.extra["auto_split_forward"] = True
     if flat:
         cfg.extra["flat_optimizer"] = True
     if fused is not None:
@@ -298,6 +309,9 @@ def main():
                         "TPU ViT)")
     p.add_argument("--no-fused", dest="fused", action="store_false",
                    help="force the pallas fused MLP OFF (A/B baseline)")
+    p.add_argument("--split-fwd", action="store_true",
+                   help="enable auto_split_forward (weak view fwd-only on "
+                        "stat-free nets; loss-equivalent A/B arm)")
     p.add_argument("--use-cat", action="store_true", default=None,
                    help="nlp/audio modes: force use_cat=True (one fused "
                         "concat forward) instead of the reference yaml's "
@@ -330,7 +344,8 @@ def main():
     _progress(t_start, "building trainer")
     cfg, trainer = build_trainer(args.mode, flat=args.flat,
                                  fused=args.fused, flash=args.flash_attn,
-                                 use_cat=args.use_cat)
+                                 use_cat=args.use_cat,
+                                 split_fwd=args.split_fwd)
     _progress(t_start, "measuring step rate (compile on first step)")
     steps_per_sec = measure_steps(trainer, cfg)
     _progress(t_start, f"step rate done: {steps_per_sec:.1f}/s")
@@ -338,6 +353,10 @@ def main():
     sps_chip = steps_per_sec / n_chips
 
     images = cfg.batch_size + 2 * cfg.ulb_batch_size
+    # use_cat=False (the reference NLP/audio geometry): the weak ulb view
+    # runs as a stop-gradient forward, so it pays no backward FLOPs
+    images_bwd = (images if cfg.use_cat
+                  else cfg.batch_size + cfg.ulb_batch_size)
     n_params = sum(x.size for x in
                    jax.tree_util.tree_leaves(trainer.state.params))
     if args.mode == "large":
@@ -351,7 +370,8 @@ def main():
                 trainer.state.params)[0]
             if "embedding" not in jax.tree_util.keystr(p))
         flops_step = vit_step_flops(mm_params, tokens=cfg.max_length,
-                                    images=images, hidden=768, layers=12)
+                                    images=images, hidden=768, layers=12,
+                                    images_bwd=images_bwd)
     elif args.mode == "audio":
         # encoder fwd+bwd at N=199 frames (4.0 s / 16 kHz through the
         # stride-320 conv stack) + the FROZEN conv feature extractor
@@ -361,8 +381,9 @@ def main():
                 trainer.state.params)[0]
             if "feature_extractor" not in jax.tree_util.keystr(p))
         flops_step = vit_step_flops(mm_params, tokens=199, images=images,
-                                    hidden=768, layers=12)
-        flops_step += 19.7e9 * images
+                                    hidden=768, layers=12,
+                                    images_bwd=images_bwd)
+        flops_step += 19.7e9 * images  # frozen conv extractor: fwd-only
     else:
         flops_step = vit_step_flops(n_params, tokens=257, images=images,
                                     hidden=384, layers=12)
@@ -380,6 +401,7 @@ def main():
         "device": str(jax.devices()[0]),
         "fused_mlp": bool(getattr(trainer.model, "use_fused_mlp", False)),
         "use_cat": bool(cfg.use_cat),
+        "split_fwd": bool(cfg.extra.get("auto_split_forward", False)),
     }
 
     vs_baseline = None

@@ -29,7 +29,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 
 def fabricate_corpus(root: str, n: int, side: int, quality: int = 85):
@@ -87,6 +88,11 @@ def main():
     ap.add_argument("--steps-per-sec", type=float, default=None,
                     help="measured train step rate for the demand line "
                          "(e.g. BENCH extras); demand = sps * batch")
+    ap.add_argument("--live-imagenet-demand", action="store_true",
+                    help="measure the ViT-B/16-224 FixMatch step rate on "
+                         "the live accelerator (the imagenet/semi_aves/"
+                         "food101 geometry) and derive the chip-demand "
+                         "line from it")
     ap.add_argument("--root", default=None)
     args = ap.parse_args()
 
@@ -141,10 +147,59 @@ def main():
         "loader_prefetch_batches_per_sec": round(pf_bps, 2),
         "loader_images_per_sec": round(base_bps * 48, 1),
     }
-    if args.steps_per_sec:
-        demand = args.steps_per_sec * args.batch
+    sps = args.steps_per_sec
+    if args.live_imagenet_demand:
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(REPO_ROOT, ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="vit_base_patch16_224",
+            dataset="synthetic", num_classes=10, num_labels=40,
+            batch_size=8, uratio=1, eval_batch_size=8, img_size=224,
+            crop_ratio=0.875, optim="AdamW", lr=5e-5, layer_decay=0.65,
+            ema_m=0.0, p_cutoff=0.95, num_train_iter=1 << 20,
+            num_eval_iter=1 << 30, num_log_iter=1 << 30, seed=0,
+            save_name="loaderbench_vitb", mesh_shape=(-1,)))
+        cfg.extra["synthetic_train"] = 256
+        tr = Trainer(cfg)
+        import jax.numpy as jnp
+        import time as _t
+
+        tr.state = tr.state.replace(step=jnp.asarray(100, jnp.int32))
+        ld = tr._make_loader()
+        bs = [tr._put_batch(next(ld)) for _ in range(4)]
+        st = tr.state
+        for i in range(3):
+            st, m = tr._jit_step(st, bs[i % 4])
+        _ = float(m["total_loss"])
+        t2 = _t.perf_counter()
+        for i in range(30):
+            st, m = tr._jit_step(st, bs[i % 4])
+        _ = float(m["total_loss"])
+        sps = 30 / (_t.perf_counter() - t2)
+        out["vitb224_steps_per_sec"] = round(sps, 2)
+        print(f"[live] ViT-B/16-224 FixMatch step: {sps:.2f}/s",
+              file=sys.stderr)
+    if sps:
+        demand = sps * args.batch
         out["chip_demand_images_per_sec"] = round(demand, 1)
-        out["loader_headroom"] = round(pool_ips / demand, 2)
+        out["loader_headroom_this_host"] = round(pool_ips / demand, 2)
+        # single-core hosts: project an 8-worker pool at linear scaling of
+        # the measured per-core decode rate (PIL releases the GIL; the
+        # pool engages automatically on multi-core hosts)
+        out["loader_headroom_8core_est"] = (
+            round(seq_ips * 8 / demand, 2)
+            if (os.cpu_count() or 1) == 1 else None)
     print(json.dumps(out))
 
 

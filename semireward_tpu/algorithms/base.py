@@ -113,10 +113,24 @@ class Algorithm:
     # ---- shared plumbing ---------------------------------------------------
     def forward(self, ctx: StepCtx, stop_grad_w: bool = True) -> C.ForwardOut:
         b = ctx.batch
+        use_cat = self.cfg.use_cat
+        if (use_cat and stop_grad_w and not ctx.batch_stats
+                and self.cfg.extra.get("auto_split_forward", False)):
+            # loss-equivalent split (opt-in, extra['auto_split_forward']):
+            # under use_cat the weak view's cotangents are zero (its
+            # logits/feats are stop-graded) yet the concat BACKWARD still
+            # processes all rows — the reference pays the same waste
+            # (fixmatch.py:52-71 + loss.backward()). For stat-free nets
+            # (no BN moments to keep concat semantics for) the separate-
+            # forwards path runs the weak view forward-ONLY, saving its
+            # entire backward (~(u/(1+2u))*2/3 of backbone FLOPs).
+            # Deviation: dropout draws follow the split RNG stream
+            # (ssl_forward fold_in), same marginals — see DEVIATIONS.md.
+            use_cat = False
         return C.ssl_forward(
             ctx.apply_fn, ctx.params, ctx.batch_stats,
             b["x_lb"], b["x_ulb_w"], b["x_ulb_s"], ctx.rng,
-            train=True, use_cat=self.cfg.use_cat, stop_grad_w=stop_grad_w,
+            train=True, use_cat=use_cat, stop_grad_w=stop_grad_w,
         )
 
     def unsup_warmup_factor(self, step, warm=None):

@@ -140,15 +140,20 @@ def _decode_pool():
     """Shared JPEG-decode thread pool (PIL decode and resize release the
     GIL, so threads overlap both the libjpeg work and file IO — the
     TPU-host analogue of the reference's num_workers DataLoader processes,
-    imagenet.py:46-169 via torch DataLoader)."""
+    imagenet.py:46-169 via torch DataLoader). Returns None on single-core
+    hosts, where thread hand-offs only add overhead (measured -20%,
+    scripts/loader_throughput.py)."""
     global _DECODE_POOL
     if _DECODE_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+        n = min(8, os.cpu_count() or 1)
+        if n < 2:
+            _DECODE_POOL = False  # sentinel: decode sequentially
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        n = min(8, max(2, (os.cpu_count() or 1)))
-        _DECODE_POOL = ThreadPoolExecutor(
-            max_workers=n, thread_name_prefix="jpeg-decode")
-    return _DECODE_POOL
+            _DECODE_POOL = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="jpeg-decode")
+    return _DECODE_POOL or None
 
 
 class JPEGFolderDataset:
@@ -180,12 +185,12 @@ class JPEGFolderDataset:
 
     def gather(self, idx):
         out = np.empty((len(idx), self.img_size, self.img_size, 3), np.uint8)
-        if len(idx) <= 2:
+        pool = _decode_pool() if len(idx) > 2 else None
+        if pool is None:
             for j, i in enumerate(idx):
                 self._decode_one(self.paths[int(i)], out, j)
             return out
-        futs = [_decode_pool().submit(self._decode_one, self.paths[int(i)],
-                                      out, j)
+        futs = [pool.submit(self._decode_one, self.paths[int(i)], out, j)
                 for j, i in enumerate(idx)]
         for f in futs:
             f.result()  # surface decode errors, in order

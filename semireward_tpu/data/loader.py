@@ -110,41 +110,34 @@ class SSLLoader:
         lb_idx = next(self._lb)
         ulb_idx = next(self._ulb)
         lb, ulb = self.bundle.train_lb, self.bundle.train_ulb
-        if hasattr(lb, "gather"):  # lazy-decode datasets (JPEG folders)
-            out = {
-                "x_lb": lb.gather(lb_idx),
-                "y_lb": lb.targets[lb_idx],
-                "idx_lb": lb_idx.astype(np.int32),
-                "x_ulb": ulb.gather(ulb_idx),
-                "y_ulb": ulb.targets[ulb_idx],
-                "idx_ulb": ulb_idx.astype(np.int32),
-            }
-            if self._tfe:
-                # CoSSL's teacher streams must flow on JPEG-folder datasets
-                # too — silently dropping them degrades CoSSL to its base
-                # algorithm (cossl.post_loss skips when x_tfe_lb is absent)
-                tfe_lb_idx = self._tfe_rs.choice(len(lb), self.batch_size,
-                                                 p=self._tfe_p)
-                tfe_ulb_idx = next(self._tfe_ulb)
-                out["x_tfe_lb"] = lb.gather(tfe_lb_idx)
-                out["y_tfe_lb"] = lb.targets[tfe_lb_idx]
-                out["x_tfe_ulb"] = ulb.gather(tfe_ulb_idx)
-            return out
+
+        def fetch(ds, idx):
+            # lazy-decode datasets (JPEG folders) expose gather(); in-RAM
+            # datasets take the (native-threaded) row gather. Dispatch is
+            # PER DATASET — a bundle can mix the two (e.g. a small in-RAM
+            # labeled split over a folder-backed unlabeled set).
+            if hasattr(ds, "gather"):
+                return ds.gather(idx)
+            return _gather(ds.data, idx)
+
         out = {
-            "x_lb": _gather(lb.data, lb_idx),
+            "x_lb": fetch(lb, lb_idx),
             "y_lb": lb.targets[lb_idx],
             "idx_lb": lb_idx.astype(np.int32),
-            "x_ulb": _gather(ulb.data, ulb_idx),
+            "x_ulb": fetch(ulb, ulb_idx),
             "y_ulb": ulb.targets[ulb_idx],
             "idx_ulb": ulb_idx.astype(np.int32),
         }
         if self._tfe:
+            # CoSSL's teacher streams must flow on JPEG-folder datasets
+            # too — silently dropping them degrades CoSSL to its base
+            # algorithm (cossl.post_loss skips when x_tfe_lb is absent)
             tfe_lb_idx = self._tfe_rs.choice(len(lb), self.batch_size,
                                              p=self._tfe_p)
             tfe_ulb_idx = next(self._tfe_ulb)
-            out["x_tfe_lb"] = _gather(lb.data, tfe_lb_idx)
+            out["x_tfe_lb"] = fetch(lb, tfe_lb_idx)
             out["y_tfe_lb"] = lb.targets[tfe_lb_idx]
-            out["x_tfe_ulb"] = _gather(ulb.data, tfe_ulb_idx)
+            out["x_tfe_ulb"] = fetch(ulb, tfe_ulb_idx)
         return out
 
 

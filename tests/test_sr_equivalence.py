@@ -203,3 +203,53 @@ def test_ref_equivalent_reforward_nlp_dict_batch():
                      idx_ulb=jnp.asarray([2 * i, 2 * i + 1], jnp.int32))
         state, m = step(state, batch)
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_auto_split_forward_loss_equivalent_on_stat_free_net():
+    """extra['auto_split_forward'] (weak view forward-only on stat-free
+    nets — algorithms/base.py) must be loss-equivalent to the concat path:
+    with dropout inactive the per-sample math is identical, so one step's
+    losses/grads match to float-reassociation tolerance; and it must be a
+    NO-OP on BN nets (batch_stats present -> concat semantics kept)."""
+    from semireward_tpu.models.vit import VisionTransformer
+
+    rs = np.random.RandomState(0)
+
+    def build_vit(split):
+        cfg = get_config(dict(
+            algorithm="fixmatch", num_classes=4, batch_size=4, uratio=1,
+            num_train_iter=16, optim="SGD", lr=0.05, ema_m=0.0,
+            img_size=16, compute_dtype="float32", p_cutoff=0.0))
+        if split:
+            cfg.extra["auto_split_forward"] = True
+        model = VisionTransformer(num_classes=4, img_size=16, patch_size=4,
+                                  embed_dim=32, depth=2, num_heads=2,
+                                  drop_rate=0.0, dtype=jnp.float32)
+        alg = ALGORITHMS.get("fixmatch")(cfg, {"ulb_dest_len": 32})
+        state, tx = init_train_state(cfg, alg, model, jax.random.PRNGKey(0),
+                                     jnp.zeros((2, 16, 16, 3)))
+        return state, jax.jit(make_train_step(cfg, alg, model, tx))
+
+    batches = []
+    for i in range(3):
+        batches.append(dict(
+            x_lb=jnp.asarray(rs.randn(4, 16, 16, 3), jnp.float32),
+            y_lb=jnp.asarray(rs.randint(0, 4, 4)),
+            idx_ulb=jnp.asarray([0, 1, 2, 3], jnp.int32),
+            x_ulb_w=jnp.asarray(rs.randn(4, 16, 16, 3), jnp.float32),
+            x_ulb_s=jnp.asarray(rs.randn(4, 16, 16, 3), jnp.float32)))
+
+    s_cat, step_cat = build_vit(False)
+    s_sp, step_sp = build_vit(True)
+    for b in batches:
+        s_cat, m_cat = step_cat(s_cat, b)
+        s_sp, m_sp = step_sp(s_sp, b)
+    np.testing.assert_allclose(float(m_sp["total_loss"]),
+                               float(m_cat["total_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_sp["util_ratio"]),
+                               float(m_cat["util_ratio"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_cat.params),
+                     jax.tree_util.tree_leaves(s_sp.params)):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4 * scale)
