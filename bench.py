@@ -197,12 +197,12 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
         # trace work. Default (None) = the Trainer's auto rule: fused on
         # a single TPU chip for ViT nets (measured +17%, NOTES_DEV r3).
         cfg.extra["use_fused_mlp"] = fused
-    if flash:
-        # Pallas flash attention in the training step (ops/attention.py):
-        # for BERT/HuBERT the kernel handles the key padding bias and the
-        # p=0.1 prob dropout in-kernel — A/B arm for the N>=499 long-seq
-        # geometries where the [B,H,N,N] probs tensor dominates HBM traffic
-        cfg.extra["use_flash_attention"] = True
+    # Pallas flash attention in the training step (ops/attention.py): for
+    # BERT/HuBERT the kernel handles the key padding bias and the p=0.1
+    # prob dropout in-kernel. Pinned EXPLICITLY both ways: the trainer's
+    # measurement-set default (core/trainer.py: auto-on for BERT at
+    # N>=384 on TPU) would otherwise flip the no-flash A/B arm silently.
+    cfg.extra["use_flash_attention"] = bool(flash)
     if sr_reforward > 1:
         # ref-equivalent mode: restore the reference's redundant device
         # work (sr_decay() full backbone re-forwards per stage-2 step,
