@@ -115,15 +115,18 @@ class Trainer:
             net_kw["remat"] = True
         flash_cfg = cfg.extra.get("use_flash_attention")
         if flash_cfg is None:
-            # default SET BY MEASUREMENT (docs/benchmark.md round 4): at the
-            # usb_nlp geometry (BERT-base, N=512, bs8 u1, use_cat=False,
-            # v5e) the pallas kernel is +15% end-to-end (8.33 vs 7.24
-            # steps/s — in-kernel key-padding bias + prob dropout avoid the
-            # [B,H,N,N] probs HBM round-trip). At ViT's N=257 XLA's fused
-            # einsum measured faster, so short sequences stay off.
-            flash_cfg = (cfg.net.startswith("bert_")
-                         and cfg.max_length >= 384
-                         and jax.devices()[0].platform == "tpu")
+            # default SET BY MEASUREMENT (docs/benchmark.md round 4, v5e):
+            # usb_nlp geometry (BERT-base, N=512, bs8 u1, use_cat=False)
+            # pallas flash is +15% end-to-end (8.33 vs 7.24 steps/s);
+            # usb_audio (HuBERT-base, N=199 frames) +20% (13.40 vs 11.18)
+            # — in-kernel key-padding bias + prob dropout avoid the
+            # [B,H,N,N] probs HBM round-trip. At ViT's N=257 XLA's fused
+            # einsum measured faster, so ViT stays off.
+            flash_cfg = (jax.devices()[0].platform == "tpu"
+                         and ((cfg.net.startswith("bert_")
+                               and cfg.max_length >= 384)
+                              or cfg.net.startswith(("hubert_",
+                                                     "wave2vecv2_"))))
         if flash_cfg:
             # single chip and data-like meshes (pure-dp, data×fsdp) keep the
             # pallas kernel (the shard_map'd wrapper,
