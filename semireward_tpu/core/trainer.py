@@ -157,6 +157,16 @@ class Trainer:
         if datalike_mesh and (fused or net_kw.get("use_flash")):
             # the data-like mesh both pallas wrappers shard_map over
             net_kw["fused_mesh"] = self.mesh
+        if "auto_split_forward" not in cfg.extra:
+            # auto-default SET BY MEASUREMENT (round 4, v5e): running the
+            # stop-graded weak view forward-ONLY on stat-free nets is +21%
+            # on the headline ViT-S SR step (103.3 vs 85.1 steps/s/chip).
+            # The gate conditions (use_cat, stop_grad_w, no batch_stats)
+            # live in algorithms/base.py:forward; loss-equivalent, dropout
+            # RNG-stream deviation documented (DEVIATIONS.md #32). CPU runs
+            # keep the exact concat path (bit-parity tests).
+            cfg.extra["auto_split_forward"] = (
+                jax.devices()[0].platform == "tpu")
         # explicit geometry overrides for the builder (tests/small runs)
         net_kw.update(cfg.extra.get("net_kwargs", {}))
         self.model = builder(num_classes=cfg.num_classes,
