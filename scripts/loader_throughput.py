@@ -188,8 +188,11 @@ def main():
         _ = float(m["total_loss"])
         sps = 30 / (_t.perf_counter() - t2)
         out["vitb224_steps_per_sec"] = round(sps, 2)
-        print(f"[live] ViT-B/16-224 FixMatch step: {sps:.2f}/s",
-              file=sys.stderr)
+        # demand uses the LIVE config's images/step (bs + 2*ulb), not the
+        # --batch default
+        args.batch = cfg.batch_size + 2 * cfg.ulb_batch_size
+        print(f"[live] ViT-B/16-224 FixMatch step: {sps:.2f}/s "
+              f"({args.batch} img/step)", file=sys.stderr)
     if sps:
         demand = sps * args.batch
         out["chip_demand_images_per_sec"] = round(demand, 1)
