@@ -86,26 +86,71 @@ def _resample_linear(x, rate):
 
 
 def strong_augment_wave(rng, batch):
-    """Reference WaveformTransforms: random gain in +-6 dB, speed in
-    [0.5, 1.5], pitch shift +-3 semitones (approximated by resample), light
-    echo for reverb (datasetbase.py:231-301)."""
+    """Reference WaveformTransforms (audio_datasets/datasetbase.py:12-39):
+    draws per sample speed in [0.5, 2.0) (0.5 + 1.5*random()), pitch in
+    [-2, 2) CENTS (sox `pitch` takes cents — a near-inaudible <0.2%
+    rate factor, faithfully tiny), attenuation int in [-5, 5) dBFS —
+    then applies **random.choices(k=2)** of the four sox effects
+    {gain -n, pitch, speed, reverb -w} in draw order (with replacement;
+    NOT all four), followed by `rate` back to sample_rate.
+
+    On-device per-sample reproduction: two lax.switch slots over the
+    four effect kernels. gain -n normalizes the peak to the drawn dBFS;
+    pitch is a duration-preserving resample pair at the cents factor;
+    speed is a single resample (the trailing `rate` restores the sample
+    rate, leaving the 1/speed duration change, zero-padded/truncated to
+    the fixed buffer); reverb -w (wet-only) is approximated by a decaying
+    3-tap echo tail replacing the dry signal (documented approximation,
+    DEVIATIONS.md #18 — sox's reverb is a dense Freeverb tail)."""
     B, T = batch.shape
     keys = jax.random.split(rng, 5)
-    gain_db = jax.random.uniform(keys[0], (B, 1), minval=-6.0, maxval=6.0)
-    x = batch * (10.0 ** (gain_db / 20.0))
+    speed = jax.random.uniform(keys[0], (B,), minval=0.5, maxval=2.0)
+    pitch_cents = jax.random.uniform(keys[1], (B,), minval=-2.0, maxval=2.0)
+    atten_db = jax.random.randint(keys[2], (B,), -5, 5).astype(jnp.float32)
+    choice = jax.random.randint(keys[3], (B, 2), 0, 4)
 
-    speed = jax.random.uniform(keys[1], (B,), minval=0.5, maxval=1.5)
-    x = jax.vmap(_resample_linear)(x, speed)
+    def apply_one(x, c, sp, pc, att):
+        return jax.lax.switch(
+            c, (_sox_gain_n, _sox_pitch, _sox_speed, _sox_reverb_wet),
+            x, sp, pc, att)
 
-    semis = jax.random.randint(keys[2], (B,), -3, 4).astype(jnp.float32)
-    pitch_rate = 2.0 ** (semis / 12.0)
-    x = jax.vmap(_resample_linear)(x, pitch_rate)
+    def per_sample(x, c2, sp, pc, att):
+        x = apply_one(x, c2[0], sp, pc, att)
+        return apply_one(x, c2[1], sp, pc, att)
 
-    # echo: x + a * delay(x, d)
-    a = jax.random.uniform(keys[3], (B, 1), minval=0.1, maxval=0.3)
-    d = 800  # ~50ms at 16k
-    x = x + a * jnp.pad(x, ((0, 0), (d, 0)))[:, :T]
-    return x
+    return jax.vmap(per_sample)(batch, choice, speed, pitch_cents,
+                                atten_db)
+
+
+def _sox_gain_n(x, sp, pc, att):
+    """`gain -n <att>`: normalize the peak to att dBFS."""
+    peak = jnp.max(jnp.abs(x)) + 1e-9
+    return x / peak * (10.0 ** (att / 20.0))
+
+
+def _sox_pitch(x, sp, pc, att):
+    """`pitch <cents>`: duration-preserving ~0.1% shift — resample up
+    then back at the cents factor."""
+    r = 2.0 ** (pc / 1200.0)
+    return _resample_linear(_resample_linear(x, r), 1.0 / r)
+
+
+def _sox_speed(x, sp, pc, att):
+    """`speed <s>` + trailing `rate`: 1/s duration at the original
+    sample rate (fixed buffer: zero-padded / truncated)."""
+    return _resample_linear(x, sp)
+
+
+def _sox_reverb_wet(x, sp, pc, att):
+    """`reverb -w` (wet-only): the tail alone, no dry term — approximated
+    by a decaying 3-tap echo (sox's is a dense Freeverb tail;
+    DEVIATIONS.md #18)."""
+    T = x.shape[0]
+    d = 800  # ~50 ms at 16 kHz
+    pad = jnp.pad(x, (d, 0))[:T]
+    pad2 = jnp.pad(x, (2 * d, 0))[:T]
+    pad3 = jnp.pad(x, (3 * d, 0))[:T]
+    return 0.6 * pad + 0.36 * pad2 + 0.216 * pad3
 
 
 def weak_augment_wave(rng, batch, orig_lens=None):

@@ -359,3 +359,65 @@ class TestFolderAndRegressionDatasets:
         for k in ("eval/mse", "eval/rmse", "eval/mae", "eval/mape", "eval/r2"):
             assert k in res and np.isfinite(res[k])
         assert "eval/top-1-acc" not in res
+
+
+class TestSoxEffectKernels:
+    """Per-effect parity of the on-device WaveformTransforms rebuild
+    (reference audio_datasets/datasetbase.py:12-39): draw ranges, the
+    choose-2 semantics, and each sox effect's defining property."""
+
+    def test_gain_n_normalizes_peak(self, rs):
+        from semireward_tpu.data.audio import _sox_gain_n
+        x = jnp.asarray(rs.randn(1600) * 0.05, jnp.float32)
+        y = _sox_gain_n(x, 1.0, 0.0, jnp.float32(-3.0))
+        np.testing.assert_allclose(float(jnp.max(jnp.abs(y))),
+                                   10 ** (-3 / 20), rtol=1e-4)
+
+    def test_pitch_cents_is_near_identity(self, rs):
+        # sox `pitch` takes CENTS: +-2 cents is a <0.2% factor, so the
+        # effect must be tiny (the reference's draw is -2+4*random())
+        from semireward_tpu.data.audio import _sox_pitch
+        x = jnp.asarray(np.sin(np.arange(1600) * 0.05), jnp.float32)
+        y = _sox_pitch(x, 1.0, jnp.float32(2.0), 0.0)
+        err = float(jnp.max(jnp.abs(y[:1500] - x[:1500])))
+        assert err < 0.05, err
+
+    def test_speed_changes_duration(self):
+        from semireward_tpu.data.audio import _sox_speed
+        x = jnp.ones(1600, jnp.float32)
+        y = _sox_speed(x, jnp.float32(2.0), 0.0, 0.0)
+        # 2x speed: content occupies ~half the buffer, zero tail
+        assert float(jnp.abs(y[1000:]).max()) == 0.0
+        assert float(jnp.abs(y[:700]).min()) > 0.5
+
+    def test_reverb_wet_has_no_dry_term(self, rs):
+        from semireward_tpu.data.audio import _sox_reverb_wet
+        x = jnp.zeros(3200, jnp.float32).at[0].set(1.0)  # impulse
+        y = _sox_reverb_wet(x, 1.0, 0.0, 0.0)
+        assert float(y[0]) == 0.0          # wet-only: dry impulse gone
+        assert float(y[800]) > 0.0          # first echo tap at d
+
+    def test_choose_two_effects_with_replacement(self, rs):
+        """The reference applies random.choices(k=2) of the 4 effects —
+        over a large batch all 16 ordered pairs must occur, and samples
+        drawing (pitch, pitch) stay near-identity while (speed, ...)
+        draws with speed far from 1 do not."""
+        from semireward_tpu.data.audio import strong_augment_wave
+        import jax as _jax
+
+        B, T = 64, 1600
+        x = jnp.asarray(np.tile(np.sin(np.arange(T) * 0.05), (B, 1)),
+                        jnp.float32)
+        key = _jax.random.PRNGKey(3)
+        out = strong_augment_wave(key, x)
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+        # reconstruct the drawn choices the same way the function does
+        keys = _jax.random.split(key, 5)
+        choice = np.asarray(_jax.random.randint(keys[3], (B, 2), 0, 4))
+        pairs = {tuple(c) for c in choice}
+        assert len(pairs) >= 12  # 64 draws over 16 ordered pairs
+        pp = np.where((choice[:, 0] == 1) & (choice[:, 1] == 1))[0]
+        if len(pp):
+            d = np.abs(np.asarray(out)[pp[0], :1500] -
+                       np.asarray(x)[pp[0], :1500]).max()
+            assert d < 0.1, d
