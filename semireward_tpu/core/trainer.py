@@ -142,20 +142,21 @@ class Trainer:
             # hidden in VMEM — +17% measured on the headline ViT-S step
             # (85.4 vs 73.0 steps/s/chip, v5e — NOTES_DEV round 3); the
             # H=3072 families (ViT-B/BERT/HuBERT/wav2vec2) take its
-            # hidden-blocked variant. Engages on a single TPU chip or a
-            # data-like mesh (pure-dp or data×fsdp; shard_map'd per-shard
-            # kernel, ops/fused_mlp.py:fused_mlp_sharded); 'model' (TP)
-            # meshes keep the XLA path — pallas_call has no GSPMD
-            # partitioning rule, so GSPMD would all-gather its operands
-            # there. Force via extra['use_fused_mlp'] to override either
-            # way.
+            # hidden-blocked variant. Engages on a single TPU chip or ANY
+            # mesh: data-like meshes (pure-dp or data×fsdp) run the
+            # shard_map'd per-shard kernel
+            # (ops/fused_mlp.py:fused_mlp_sharded); 'model' (TP) meshes
+            # run the Megatron hidden-sharded form (fused_mlp_tp_sharded:
+            # per-shard partial + psum over 'model'). Force via
+            # extra['use_fused_mlp'] to override either way.
             from semireward_tpu.ops.fused_mlp import fused_mlp_available
-            fused = fused_mlp_available() and (jax.device_count() == 1
-                                              or datalike_mesh)
+            fused = fused_mlp_available()
         if fused:
             net_kw["use_fused_mlp"] = True
-        if datalike_mesh and (fused or net_kw.get("use_flash")):
-            # the data-like mesh both pallas wrappers shard_map over
+        if self.mesh is not None and jax.device_count() > 1 \
+                and (fused or net_kw.get("use_flash")):
+            # the mesh the pallas wrappers shard_map over (flash engages
+            # only on data-like meshes — the use_flash gate above)
             net_kw["fused_mesh"] = self.mesh
         if "auto_split_forward" not in cfg.extra:
             # auto-default SET BY MEASUREMENT (round 4, v5e): running the

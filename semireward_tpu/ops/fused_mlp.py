@@ -520,6 +520,97 @@ def batch_shard_axes(mesh) -> tuple:
     return tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
 
 
+def fused_mlp_tp_sharded(x, w1, b1, w2, b2, *, mesh,
+                         model_axis: str = "model", block_m: int = 256,
+                         interpret: Optional[bool] = None):
+    """``fused_mlp`` under ``shard_map`` for tensor-parallel meshes: the
+    Megatron layout (parallel/mesh.py:tp_param_sharding) stores fc1
+    column-sharded ([C, H] split on H over 'model') and fc2 row-sharded
+    ([H, C] split on H), so each model-shard owns a contiguous hidden
+    slice — exactly the hidden-blocked structure the kernel already
+    exploits, now across chips. Per shard: x @ W1_local -> gelu ->
+    @ W2_local is an UNREDUCED partial of the output, psum'd over
+    'model' (the standard Megatron all-reduce after the row-parallel
+    matmul); b2 is added once after the reduction. The batch dim shards
+    over the data-like axes as in :func:`fused_mlp_sharded`. Backward:
+    dx psums over 'model' (x is replicated there), dW/db1 stay
+    hidden-slice-local and psum over the batch axes, db2 is the row-sum
+    of g. A TP shard's [C, H/n_model] weight slice is often small enough
+    to return the kernel to its full-resident form (e.g. BERT H=3072
+    over 4 shards -> 768)."""
+    from semireward_tpu.ops._compat import shard_map_no_check as shard_map
+    from jax.sharding import PartitionSpec
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    batch_axes = batch_shard_axes(mesh)
+    nb = 1
+    for a in batch_axes:
+        nb *= mesh.shape[a]
+    nm = mesh.shape[model_axis]
+    h = w1.shape[1]
+    if x.shape[0] % max(nb, 1) != 0 or h % nm != 0 or b1.size != h:
+        # trace-time fallback (init sample batches / indivisible hidden):
+        # plain dense math partitions under GSPMD
+        dt = x.dtype
+        hid = jax.nn.gelu(
+            x @ w1.astype(dt) + b1.astype(dt), approximate=False)
+        return hid @ w2.astype(dt) + b2.astype(dt)
+
+    xspec = PartitionSpec(batch_axes if batch_axes else None,
+                          *([None] * (x.ndim - 1)))
+    w1spec = PartitionSpec(None, model_axis)
+    b1spec = PartitionSpec(model_axis)
+    w2spec = PartitionSpec(model_axis, None)
+    b2spec = PartitionSpec(None)
+
+    def _local(xl, w1l, b1l, w2l):
+        z = jnp.zeros((w2l.shape[1],), jnp.float32)
+        return fused_mlp(xl, w1l, b1l, w2l, z, block_m=block_m,
+                         interpret=interpret)
+
+    @jax.custom_vjp
+    def _sharded(x, w1, b1, w2, b2):
+        def _fwd_local(xl, w1l, b1l, w2l, b2l):
+            o = jax.lax.psum(_local(xl, w1l, b1l, w2l), model_axis)
+            return o + b2l.astype(o.dtype)
+
+        return shard_map(
+            _fwd_local, mesh=mesh,
+            in_specs=(xspec, w1spec, b1spec, w2spec, b2spec),
+            out_specs=xspec)(x, w1, b1, w2, b2)
+
+    def _sharded_fwd(x, w1, b1, w2, b2):
+        return _sharded(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+    def _sharded_bwd(res, g):
+        x, w1, b1, w2, b2 = res
+
+        def _local_bwd(xl, w1l, b1l, w2l, gl):
+            _, vjp = jax.vjp(
+                lambda a, b, c_, d: _local(a, b, c_, d), xl, w1l, b1l, w2l)
+            dx, dw1, db1, dw2 = vjp(gl)
+            dx = jax.lax.psum(dx, model_axis)     # x replicated over model
+            if batch_axes:                        # hidden-slice-local grads
+                dw1 = jax.lax.psum(dw1, batch_axes)
+                db1 = jax.lax.psum(db1, batch_axes)
+                dw2 = jax.lax.psum(dw2, batch_axes)
+            db2 = gl.astype(jnp.float32).sum(
+                axis=tuple(range(gl.ndim - 1)))
+            if batch_axes:
+                db2 = jax.lax.psum(db2, batch_axes)
+            return dx, dw1, db1, dw2, db2.reshape(b2.shape).astype(b2.dtype)
+
+        return shard_map(
+            _local_bwd, mesh=mesh,
+            in_specs=(xspec, w1spec, b1spec, w2spec, xspec),
+            out_specs=(xspec, w1spec, b1spec, w2spec, b2spec),
+        )(x, w1, b1, w2, g)
+
+    _sharded.defvjp(_sharded_fwd, _sharded_bwd)
+    return _sharded(x, w1, b1, w2, b2)
+
+
 def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis=None,
                       block_m: int = 256, block_h: Optional[int] = None,
                       interpret: Optional[bool] = None):
@@ -540,6 +631,10 @@ def fused_mlp_sharded(x, w1, b1, w2, b2, *, mesh, data_axis=None,
     from semireward_tpu.ops._compat import shard_map_no_check as shard_map
     from jax.sharding import PartitionSpec
 
+    if "model" in mesh.axis_names:
+        # tensor-parallel mesh: Megatron hidden-sharded kernel form
+        return fused_mlp_tp_sharded(x, w1, b1, w2, b2, mesh=mesh,
+                                    block_m=block_m, interpret=interpret)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if data_axis is None:

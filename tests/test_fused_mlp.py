@@ -335,3 +335,40 @@ def test_untileable_hidden_falls_back_to_xla(rs):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_matches_single_device(weights):
+    """fused_mlp on a tensor-parallel mesh (fused_mlp_tp_sharded): each
+    model-shard owns a hidden slice (Megatron fc1-column / fc2-row
+    layout), partial outputs psum over 'model', dx psums back, dW stays
+    slice-local. Numerics must match the single-device kernel on both a
+    2-D data×model and a 3-D data×fsdp×model mesh."""
+    from semireward_tpu.ops.fused_mlp import fused_mlp_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    x, w1, b1, w2, b2 = weights
+    x3 = x[:32].reshape(8, 4, C)
+
+    def loss_1(a):
+        return (fused_mlp(x3.reshape(-1, C), *a, block_m=16,
+                          interpret=True).astype(jnp.float32) ** 2).sum()
+
+    args = (w1, b1, w2, b2)
+    v_1, g_1 = jax.value_and_grad(loss_1)(args)
+
+    for shape, axes in (((2, 4), ("data", "model")),
+                        ((2, 2, 2), ("data", "fsdp", "model"))):
+        mesh = mesh_lib.build_mesh(shape, axes)
+
+        def loss_sh(a):
+            out = fused_mlp_sharded(x3, *a, mesh=mesh, block_m=16,
+                                    interpret=True)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        v_sh, g_sh = jax.value_and_grad(loss_sh)(args)
+        np.testing.assert_allclose(float(v_sh), float(v_1), rtol=1e-4)
+        for a, b in zip(g_1, g_sh):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=0.01 * scale)
