@@ -45,6 +45,20 @@ def _model_dtype(cfg: Config):
             "float16": jnp.float16}[cfg.compute_dtype]
 
 
+def flash_auto_default(cfg: Config, platform: str) -> bool:
+    """`use_flash_attention` default when the config leaves it unset —
+    SET BY MEASUREMENT (docs/benchmark.md round 4, v5e): the usb_nlp
+    geometry (BERT-base, N=512, bs8 u1, use_cat=False) is +15%
+    end-to-end with the pallas kernel (8.33 vs 7.24 steps/s) and
+    usb_audio (HuBERT-base, N=199 frames) +20% (13.40 vs 11.18) — the
+    in-kernel key-padding bias + prob dropout avoid the [B,H,N,N] probs
+    HBM round-trip. At ViT's N=257 XLA's fused einsum measured faster,
+    so ViT stays off. TPU-only (the kernel falls back off-TPU anyway)."""
+    return (platform == "tpu"
+            and ((cfg.net.startswith("bert_") and cfg.max_length >= 384)
+                 or cfg.net.startswith(("hubert_", "wave2vecv2_"))))
+
+
 class Trainer:
     """End-to-end trainer. ``Trainer(cfg).train()`` is the CLI path;
     fit/evaluate/predict mirror the lighting API."""
@@ -115,18 +129,8 @@ class Trainer:
             net_kw["remat"] = True
         flash_cfg = cfg.extra.get("use_flash_attention")
         if flash_cfg is None:
-            # default SET BY MEASUREMENT (docs/benchmark.md round 4, v5e):
-            # usb_nlp geometry (BERT-base, N=512, bs8 u1, use_cat=False)
-            # pallas flash is +15% end-to-end (8.33 vs 7.24 steps/s);
-            # usb_audio (HuBERT-base, N=199 frames) +20% (13.40 vs 11.18)
-            # — in-kernel key-padding bias + prob dropout avoid the
-            # [B,H,N,N] probs HBM round-trip. At ViT's N=257 XLA's fused
-            # einsum measured faster, so ViT stays off.
-            flash_cfg = (jax.devices()[0].platform == "tpu"
-                         and ((cfg.net.startswith("bert_")
-                               and cfg.max_length >= 384)
-                              or cfg.net.startswith(("hubert_",
-                                                     "wave2vecv2_"))))
+            flash_cfg = flash_auto_default(
+                cfg, jax.devices()[0].platform)
         if flash_cfg:
             # single chip and data-like meshes (pure-dp, data×fsdp) keep the
             # pallas kernel (the shard_map'd wrapper,

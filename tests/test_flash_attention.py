@@ -317,3 +317,23 @@ def test_trainer_mesh_gating(tmp_path):
     cfg3.extra["net_kwargs"] = dict(kwargs)
     tr3 = st.Trainer(cfg3)
     assert not tr3.model.use_flash
+
+
+def test_flash_auto_default_rule():
+    """The measurement-set default (docs/benchmark.md round 4): flash
+    auto-ON on TPU for BERT at max_length>=384 and for HuBERT/wav2vec2;
+    OFF for ViT, short-sequence BERT, and any non-TPU platform."""
+    import semireward_tpu as st
+    from semireward_tpu.core.trainer import flash_auto_default
+
+    def cfg(net, max_length=512):
+        return st.get_config(dict(net=net, max_length=max_length,
+                                  num_classes=2))
+
+    assert flash_auto_default(cfg("bert_base_uncased", 512), "tpu")
+    assert flash_auto_default(cfg("bert_base_cased", 384), "tpu")
+    assert not flash_auto_default(cfg("bert_base_uncased", 256), "tpu")
+    assert flash_auto_default(cfg("hubert_base"), "tpu")
+    assert flash_auto_default(cfg("wave2vecv2_base"), "tpu")
+    assert not flash_auto_default(cfg("vit_small_patch2_32"), "tpu")
+    assert not flash_auto_default(cfg("bert_base_uncased", 512), "cpu")
