@@ -1,4 +1,11 @@
 #!/usr/bin/env python
+# (script preamble — not part of the notebook: make the repo importable
+# when the example runs from any directory)
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 # %% [markdown]
 # # Bringing your own dataset
 #
