@@ -132,13 +132,13 @@ class Trainer:
             flash_cfg = flash_auto_default(
                 cfg, jax.devices()[0].platform)
         if flash_cfg:
-            # single chip and data-like meshes (pure-dp, data×fsdp) keep the
-            # pallas kernel (the shard_map'd wrapper,
-            # ops/attention.py:flash_attention_sharded); 'model' (TP) meshes
-            # stay on the XLA einsum attention — pallas_call has no GSPMD
-            # partitioning rule, so GSPMD would all-gather its operands there
-            if self.mesh is None or jax.device_count() == 1 or datalike_mesh:
-                net_kw["use_flash"] = True
+            # every mesh family keeps the pallas kernel via the shard_map'd
+            # wrapper (ops/attention.py:flash_attention_sharded): data-like
+            # meshes shard the batch, 'model' (TP) meshes additionally
+            # shard the HEAD dim (attention is head-separable; the dropout
+            # counter decomposes each shard's local index so the mask
+            # stream stays bit-identical to single-device)
+            net_kw["use_flash"] = True
         fused = cfg.extra.get("use_fused_mlp")
         if fused is None and cfg.net.startswith(
                 ("vit_", "dinov2_", "bert_", "hubert_", "wave2vecv2_")):

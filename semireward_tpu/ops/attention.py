@@ -76,14 +76,26 @@ def keep_threshold(dropout_rate: float) -> int:
 
 
 def attention_keep_mask(seed, BH: int, N: int, np_pad: int, thresh: int,
-                        bh_offset=0):
+                        bh_offset=0, local_heads=None, head_stride=None):
     """Full keep mask [BH, N, N] matching the kernel's bit stream exactly
     (np_pad = the kernel's 128-padded sequence length; bh_offset = this
-    shard's global batch*head start under flash_attention_sharded).
-    Test/fallback use — this materializes what the kernel never does."""
+    shard's global (batch*head) start under flash_attention_sharded).
+    ``local_heads``/``head_stride`` decompose a HEAD-SHARDED shard's local
+    bh index L into global (batch, head): global_bh = bh_offset +
+    (L // local_heads) * head_stride + L % local_heads — the
+    tensor-parallel layout where each shard owns local_heads of the
+    head_stride total heads. Defaults reproduce the contiguous stream
+    (global_bh = bh_offset + L). Test/fallback use — this materializes
+    what the kernel never does."""
     seed_u = jnp.asarray(seed, jnp.int32).reshape(()).astype(jnp.uint32)
     off_u = jnp.asarray(bh_offset, jnp.int32).astype(jnp.uint32)
-    bh = jnp.arange(BH, dtype=jnp.uint32)[:, None, None] + off_u
+    L = jnp.arange(BH, dtype=jnp.uint32)
+    if local_heads is not None:
+        hl = np.uint32(local_heads)
+        st = np.uint32(head_stride if head_stride is not None else local_heads)
+        bh = ((L // hl) * st + L % hl)[:, None, None] + off_u
+    else:
+        bh = L[:, None, None] + off_u
     qpos = jnp.arange(N, dtype=jnp.uint32)[None, :, None]
     kpos = jnp.arange(N, dtype=jnp.uint32)[None, None, :]
     npp = np.uint32(np_pad)
@@ -108,7 +120,10 @@ def _fwd_kernel(*refs, scale, block_k, seq_len, has_bias, thresh, keep_prob,
     num_kb = pl.cdiv(seq_len, block_k)
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
+        L = pl.program_id(0)
+        hl = seed_ref[0, 2]   # local heads; (hl, stride) = (H, H) when
+        st = seed_ref[0, 3]   # heads are not sharded -> off + L exactly
+        bh_u = (seed_ref[0, 1] + (L // hl) * st + L % hl).astype(jnp.uint32)
         qi = pl.program_id(1)
         qpos_u = (qi * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
@@ -174,7 +189,10 @@ def _bwd_dq_kernel(*refs, scale, block_k, seq_len, has_bias, thresh,
     num_kb = pl.cdiv(seq_len, block_k)
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
+        L = pl.program_id(0)
+        hl = seed_ref[0, 2]
+        st = seed_ref[0, 3]
+        bh_u = (seed_ref[0, 1] + (L // hl) * st + L % hl).astype(jnp.uint32)
         qpos_u = (qi * bq + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 0)).astype(jnp.uint32)
         npp = np.uint32(np_pad)
@@ -226,7 +244,10 @@ def _bwd_dkv_kernel(*refs, scale, block_q, seq_len, has_bias, thresh,
         kbias = bias_ref[0, 0, :].astype(jnp.float32)   # [bk]
     if thresh:
         seed_u = seed_ref[0, 0].astype(jnp.uint32)
-        bh_u = (pl.program_id(0) + seed_ref[0, 1]).astype(jnp.uint32)
+        L = pl.program_id(0)
+        hl = seed_ref[0, 2]
+        st = seed_ref[0, 3]
+        bh_u = (seed_ref[0, 1] + (L // hl) * st + L % hl).astype(jnp.uint32)
         kpos_u = kpos.astype(jnp.uint32)
         npp = np.uint32(np_pad)
         inv_keep = np.float32(1.0 / keep_prob)
@@ -299,8 +320,9 @@ def _extra_inputs(qp, bias, seed, has_bias, thresh, full_bias_spec=True):
         else:  # dkv grid: one key block per grid step
             specs.append(pl.BlockSpec((1, 1, _BK), lambda b, j: (b, 0, j)))
     if thresh:
-        inputs.append(seed)  # [1,2] int32: (seed, bh_offset)
-        specs.append(pl.BlockSpec((1, 2), lambda b, i: (0, 0)))
+        inputs.append(seed)  # [1,4] int32: (seed, bh_offset, local_heads,
+        #                                    head_stride)
+        specs.append(pl.BlockSpec((1, 4), lambda b, i: (0, 0)))
     return inputs, specs
 
 
@@ -421,7 +443,7 @@ def _key_bias_of(bias, B, H, N):
 
 
 def _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed, Np,
-                   bh_offset=0):
+                   bh_offset=0, local_heads=None, head_stride=None):
     """The fused-einsum path, applying the IDENTICAL hash-dropout stream
     the kernel generates (attention_keep_mask). The dropout case is
     rematerialized: without jax.checkpoint autodiff would hold the f32
@@ -439,7 +461,9 @@ def _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed, Np,
         p = jax.nn.softmax(s, axis=-1)
         if thresh:
             keep = attention_keep_mask(seed, B * H, N, Np, thresh,
-                                       bh_offset=off)
+                                       bh_offset=off,
+                                       local_heads=local_heads,
+                                       head_stride=head_stride)
             p = jnp.where(keep.reshape(B, H, N, N), p / keep_prob, 0.0)
         return jnp.einsum("bhnm,bmhd->bnhd", p.astype(q.dtype), v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
@@ -452,8 +476,8 @@ def _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed, Np,
 
 
 def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
-                    dropout_seed=None, bh_offset=0, interpret=False,
-                    force=False):
+                    dropout_seed=None, bh_offset=0, local_heads=None,
+                    head_stride=None, interpret=False, force=False):
     """q,k,v: [B, N, H, d]. Returns [B, N, H, d]. Differentiable — the
     backward runs as blockwise Pallas kernels (recompute + logsumexp).
 
@@ -492,7 +516,9 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
                   and (force or jax.default_backend() == "tpu"))
     if not use_pallas:
         return _xla_attention(q, k, v, bias, thresh, keep_prob, dropout_seed,
-                              Np, bh_offset=bh_offset)
+                              Np, bh_offset=bh_offset,
+                              local_heads=local_heads,
+                              head_stride=head_stride)
 
     Dp = max(((d + 127) // 128) * 128, 128)
 
@@ -504,11 +530,15 @@ def flash_attention(q, k, v, bias=None, dropout_rate: float = 0.0,
     bias_arg = (_pad_to(key_bias, Np, 2) if has_bias
                 else jnp.zeros((1, 1, 1), jnp.float32))
     if thresh:
+        hl = H if local_heads is None else local_heads
+        st = hl if head_stride is None else head_stride
         seed_arg = jnp.stack(
             [jnp.asarray(dropout_seed, jnp.int32).reshape(()),
-             jnp.asarray(bh_offset, jnp.int32).reshape(())]).reshape(1, 2)
+             jnp.asarray(bh_offset, jnp.int32).reshape(()),
+             jnp.asarray(hl, jnp.int32).reshape(()),
+             jnp.asarray(st, jnp.int32).reshape(())]).reshape(1, 4)
     else:
-        seed_arg = jnp.zeros((1, 2), jnp.int32)
+        seed_arg = jnp.zeros((1, 4), jnp.int32)
     out = _flash_bhnd(prep(q), prep(k), prep(v), bias_arg, seed_arg,
                       d, N, has_bias, thresh, keep_prob, interpret)
     out = out[:, :N, :d]
@@ -544,13 +574,20 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
     ndev = 1
     for a in data_axis:
         ndev *= mesh.shape[a]
+    # tensor-parallel meshes additionally shard the HEAD dim over 'model'
+    # (the Megatron split_qkv layout stores q/k/v head-aligned); each
+    # shard runs flash on its local heads — attention is head-separable,
+    # so no collectives are needed there either
+    model_axis = "model" if "model" in mesh.axis_names else None
+    nm = mesh.shape[model_axis] if model_axis else 1
     key_bias_ok = bias is None or _key_bias_of(bias, B, H, N) is not None
     Np_pad = ((N + _BQ - 1) // _BQ) * _BQ
     # overflow guard on the GLOBAL counter: the per-shard kernel check sees
     # only local B, but bh_offset makes the counter global
     drop_ok = (float(dropout_rate) == 0.0
                or B * H * Np_pad * Np_pad < 2 ** 32)
-    if ndev == 0 or B % ndev != 0 or not key_bias_ok or not drop_ok:
+    if (ndev == 0 or B % ndev != 0 or H % nm != 0 or not key_bias_ok
+            or not drop_ok):
         # trace-time fallback (flax-init sample batches, eval remainders,
         # exotic biases): the XLA einsum path partitions fine under GSPMD
         Np = ((N + _BQ - 1) // _BQ) * _BQ
@@ -558,8 +595,9 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
         return _xla_attention(q, k, v, bias, thresh, 1.0 - dropout_rate,
                               dropout_seed, Np)
     local_B = B // ndev
+    local_H = H // nm
 
-    qspec = P(data_axis, None, None, None)
+    qspec = P(data_axis, None, model_axis, None)
     args = [q, k, v]
     specs = [qspec, qspec, qspec]
     has_bias = bias is not None
@@ -581,10 +619,15 @@ def flash_attention_sharded(q, k, v, bias=None, dropout_rate: float = 0.0,
         idx = jnp.int32(0)
         for ax in data_axis:
             idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        # global bh = (b0 + lb) * H + h0 + lh: off carries b0*H + h0, the
+        # kernel decomposes its local index with (local_heads, stride=H)
         off = idx * (local_B * H)
+        if model_axis:
+            off = off + jax.lax.axis_index(model_axis) * local_H
         return flash_attention(ql, kl, vl, bias=bl,
                                dropout_rate=dropout_rate, dropout_seed=sl,
-                               bh_offset=off, interpret=interpret,
+                               bh_offset=off, local_heads=local_H,
+                               head_stride=H, interpret=interpret,
                                force=force)
 
     return shard_map(_local, mesh=mesh, in_specs=tuple(specs),

@@ -310,13 +310,17 @@ def test_trainer_mesh_gating(tmp_path):
     tr2.fit()
     assert np.isfinite(tr2.evaluate()["loss"])
 
-    # TP mesh: XLA attention (no GSPMD rule for pallas_call)
+    # TP mesh: kernel kept too (round 4 — heads shard over 'model' in the
+    # wrapper; the counter's (local_heads, stride) decomposition keeps the
+    # dropout stream bit-identical)
     cfg3 = st.get_config(dict(mesh_shape=(2, 4),
                               mesh_axes=("data", "model"), **base))
     cfg3.extra["use_flash_attention"] = True
-    cfg3.extra["net_kwargs"] = dict(kwargs)
+    cfg3.extra["net_kwargs"] = dict(kwargs, split_qkv=True)
     tr3 = st.Trainer(cfg3)
-    assert not tr3.model.use_flash
+    assert tr3.model.use_flash and tr3.model.fused_mesh is not None
+    tr3.fit()
+    assert np.isfinite(tr3.evaluate()["loss"])
 
 
 def test_flash_auto_default_rule():
@@ -337,3 +341,44 @@ def test_flash_auto_default_rule():
     assert flash_auto_default(cfg("wave2vecv2_base"), "tpu")
     assert not flash_auto_default(cfg("vit_small_patch2_32"), "tpu")
     assert not flash_auto_default(cfg("bert_base_uncased", 512), "cpu")
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_bit_identical(rs):
+    """Tensor-parallel mesh: heads shard over 'model' (the Megatron
+    split-qkv layout) and the dropout counter decomposes each shard's
+    local index via (local_heads, head_stride) — output, grads, AND the
+    dropout mask stream must equal the single-device kernel bit for
+    bit."""
+    from semireward_tpu.ops.attention import flash_attention_sharded
+    from semireward_tpu.parallel import mesh as mesh_lib
+
+    B, N, H, d = 4, 136, 4, 32
+    q = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, H, d), jnp.float32)
+    bias, _ = _key_bias(rs, B, N, N - 13)
+
+    def loss_1(q, k, v):
+        out = flash_attention(q, k, v, bias=bias, dropout_rate=0.1,
+                              dropout_seed=42, interpret=True, force=True)
+        return (out ** 2).sum(), out
+
+    (_, o_1), g_1 = jax.value_and_grad(loss_1, argnums=(0, 1, 2),
+                                       has_aux=True)(q, k, v)
+
+    for shape, axes in (((2, 4), ("data", "model")),
+                        ((2, 2, 2), ("data", "fsdp", "model"))):
+        mesh = mesh_lib.build_mesh(shape, axes)
+
+        def loss_sh(q, k, v):
+            out = flash_attention_sharded(
+                q, k, v, bias=bias, dropout_rate=0.1, dropout_seed=42,
+                mesh=mesh, interpret=True, force=True)
+            return (out ** 2).sum(), out
+
+        (_, o_sh), g_sh = jax.value_and_grad(loss_sh, argnums=(0, 1, 2),
+                                             has_aux=True)(q, k, v)
+        np.testing.assert_array_equal(np.asarray(o_sh), np.asarray(o_1))
+        for a, b in zip(g_sh, g_1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
