@@ -74,8 +74,11 @@ def vit_step_flops(params: int, tokens: int, images: int, hidden: int,
     return dense + attn
 
 
-def wrn_step_flops(fwd_flops_per_image: float, images: int) -> float:
-    return 3.0 * fwd_flops_per_image * images  # bwd ~= 2x fwd
+def wrn_step_flops(fwd_flops_per_image: float, images: int,
+                   images_bwd: int | None = None) -> float:
+    if images_bwd is None:
+        images_bwd = images
+    return fwd_flops_per_image * (images + 2.0 * images_bwd)  # bwd ~= 2x fwd
 
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
@@ -353,25 +356,33 @@ def main():
     sps_chip = steps_per_sec / n_chips
 
     images = cfg.batch_size + 2 * cfg.ulb_batch_size
-    # use_cat=False (the reference NLP/audio geometry): the weak ulb view
-    # runs as a stop-gradient forward, so it pays no backward FLOPs
-    images_bwd = (images if cfg.use_cat
-                  else cfg.batch_size + cfg.ulb_batch_size)
+    # rows whose backward never executes: the stop-graded weak ulb view —
+    # via the reference's own use_cat=False geometry (NLP/audio yamls) OR
+    # the split-forward path (auto_split_forward engages only on stat-free
+    # nets, algorithms/base.py:117; BN nets like WRN keep the full concat)
+    has_bn = bool(jax.tree_util.tree_leaves(
+        getattr(trainer.state, "batch_stats", None) or ()))
+    split_on = bool(cfg.extra.get("auto_split_forward", False)) and not has_bn
+    weak_fwd_only = (not cfg.use_cat) or split_on
+    images_bwd = images - (cfg.ulb_batch_size if weak_fwd_only else 0)
     n_params = sum(x.size for x in
                    jax.tree_util.tree_leaves(trainer.state.params))
     if args.mode == "large":
         # WRN-28-2 fwd = 0.43 GFLOP/image at 32x32 (exact conv arithmetic:
         # 3 stages x ~141.6 MFLOP + stem/shortcuts)
-        flops_step = wrn_step_flops(0.43e9, images)
+        def _flops(ib):
+            return wrn_step_flops(0.43e9, images, images_bwd=ib)
     elif args.mode == "nlp":
         # embedding-table lookups are not matmul FLOPs — exclude them
         mm_params = sum(
             x.size for p, x in jax.tree_util.tree_flatten_with_path(
                 trainer.state.params)[0]
             if "embedding" not in jax.tree_util.keystr(p))
-        flops_step = vit_step_flops(mm_params, tokens=cfg.max_length,
-                                    images=images, hidden=768, layers=12,
-                                    images_bwd=images_bwd)
+
+        def _flops(ib):
+            return vit_step_flops(mm_params, tokens=cfg.max_length,
+                                  images=images, hidden=768, layers=12,
+                                  images_bwd=ib)
     elif args.mode == "audio":
         # encoder fwd+bwd at N=199 frames (4.0 s / 16 kHz through the
         # stride-320 conv stack) + the FROZEN conv feature extractor
@@ -380,13 +391,21 @@ def main():
             x.size for p, x in jax.tree_util.tree_flatten_with_path(
                 trainer.state.params)[0]
             if "feature_extractor" not in jax.tree_util.keystr(p))
-        flops_step = vit_step_flops(mm_params, tokens=199, images=images,
-                                    hidden=768, layers=12,
-                                    images_bwd=images_bwd)
-        flops_step += 19.7e9 * images  # frozen conv extractor: fwd-only
+
+        def _flops(ib):
+            return vit_step_flops(mm_params, tokens=199, images=images,
+                                  hidden=768, layers=12,
+                                  images_bwd=ib) + 19.7e9 * images
     else:
-        flops_step = vit_step_flops(n_params, tokens=257, images=images,
-                                    hidden=384, layers=12)
+        def _flops(ib):
+            return vit_step_flops(n_params, tokens=257, images=images,
+                                  hidden=384, layers=12, images_bwd=ib)
+    # EXECUTED FLOPs are the mfu/model_flops_per_step basis in every mode;
+    # the full-concat equivalent (the reference's semantics: every view
+    # through the backward) is kept as a separate extra for round-to-round
+    # comparability.
+    flops_step = _flops(images_bwd)
+    flops_full = _flops(images)
     peak = chip_peak_flops()
     mfu = (sps_chip * flops_step / peak) if peak else None
 
@@ -398,6 +417,9 @@ def main():
         "model_params": int(n_params),
         "model_flops_per_step": flops_step,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "model_flops_per_step_full_concat": flops_full,
+        "mfu_vs_full_concat_flops": (
+            round(sps_chip * flops_full / peak, 4) if peak else None),
         "device": str(jax.devices()[0]),
         "fused_mlp": bool(getattr(trainer.model, "use_fused_mlp", False)),
         "use_cat": bool(cfg.use_cat),
@@ -459,7 +481,8 @@ def main():
                                              flat=args.flat,
                                              fused=args.fused,
                                              flash=args.flash_attn,
-                                             use_cat=args.use_cat)
+                                             use_cat=args.use_cat,
+                                             split_fwd=args.split_fwd)
             ref_sps = measure_steps(trainer_r, cfg_r, n_steps=100) / n_chips
             ref_sps_sync = measure_steps(trainer_r, cfg_r, n_steps=50,
                                          host_fetch=True) / n_chips
@@ -481,14 +504,25 @@ def main():
                 "vs_baseline_arithmetic is the round-2 estimate kept for "
                 "comparability")
         else:
-            extras["vs_baseline_note"] = (
-                "same-chip algorithmic estimate: ref = our step + 8 "
-                "re-forwards (BASELINE.md); excludes ref's per-step host "
-                "syncs -> lower bound on the true ratio" +
-                (" [measured arm skipped: wall-clock budget "
-                 f"{budget_s:.0f}s hit on a slow tunnel; see "
-                 "BENCH_TIME_BUDGET_S]"
-                 if over_budget and not args.skip_ref_equivalent else ""))
+            skip_why = (" [measured arm skipped: wall-clock budget "
+                        f"{budget_s:.0f}s hit on a slow tunnel; see "
+                        "BENCH_TIME_BUDGET_S]"
+                        if over_budget and not args.skip_ref_equivalent
+                        else " [measured arm skipped: "
+                             "--skip-ref-equivalent]")
+            if args.mode == "headline":
+                extras["vs_baseline_note"] = (
+                    "same-chip algorithmic estimate: ref = our step + 8 "
+                    "re-forwards (BASELINE.md); excludes ref's per-step "
+                    "host syncs -> lower bound on the true ratio" + skip_why)
+            else:
+                # nlp/audio have no arithmetic fallback (measure_vit_fwd is
+                # headline-only), so vs_baseline stays null — say so rather
+                # than describing an estimate that was never computed
+                extras["vs_baseline_note"] = (
+                    "vs_baseline null: no measured ref-equivalent arm ran "
+                    "and no arithmetic fallback exists for this mode"
+                    + skip_why)
 
         if args.sr_ema:
             if time.perf_counter() - t_start > budget_s:

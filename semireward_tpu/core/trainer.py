@@ -113,14 +113,6 @@ class Trainer:
 
         self.mesh = mesh_lib.build_mesh(cfg.mesh_shape, cfg.mesh_axes) \
             if use_mesh else None
-        # meshes whose axes are all data-like (pure-dp 'data', or the 2-D
-        # data×fsdp ZeRO layout) keep the pallas kernels via the shard_map
-        # wrappers — the batch shards over the product of these axes and
-        # dW psums back over them (ops/fused_mlp.py:batch_shard_axes).
-        # Only 'model' (tensor-parallel) meshes fall back to XLA.
-        datalike_mesh = (self.mesh is not None
-                         and set(self.mesh.axis_names) <= {"data", "fsdp"}
-                         and jax.device_count() > 1)
         builder = NETS.get(cfg.net)
         net_kw = {}
         if "bn_momentum" in cfg.extra:
@@ -159,8 +151,10 @@ class Trainer:
             net_kw["use_fused_mlp"] = True
         if self.mesh is not None and jax.device_count() > 1 \
                 and (fused or net_kw.get("use_flash")):
-            # the mesh the pallas wrappers shard_map over (flash engages
-            # only on data-like meshes — the use_flash gate above)
+            # the mesh the pallas wrappers shard_map over — every mesh
+            # family keeps the kernels (data-like meshes shard the batch;
+            # 'model' TP meshes run the head-sharded flash / Megatron
+            # hidden-sharded fused-MLP forms)
             net_kw["fused_mesh"] = self.mesh
         if "auto_split_forward" not in cfg.extra:
             # auto-default SET BY MEASUREMENT (round 4, v5e): running the
@@ -507,91 +501,93 @@ class Trainer:
         metrics_acc = None
         t0 = time.time()
         prefetch_acc = 0.0  # reference TimerHook's train/prefetch_time
-        prefetched = self._put_batch(next(loader))
-        start_it = int(self.state.step)
-        # timing window = steps since the last t0 reset (log OR eval
-        # boundary); dividing by num_log_iter when the windows interleave
-        # (num_eval_iter not a multiple of num_log_iter) misreports steps/s
-        window_start = start_it
-        for it in range(start_it, num_iters):
-            raw = prefetched
-            self.state, metrics = self._jit_step(self.state, raw)
-            tp = time.time()
-            prefetched = self._put_batch(next(loader))  # overlap with step
-            prefetch_acc += time.time() - tp
-            metrics_acc = metrics  # async device values; fetched on log only
+        try:
+            prefetched = self._put_batch(next(loader))
+            start_it = int(self.state.step)
+            # timing window = steps since the last t0 reset (log OR eval
+            # boundary); dividing by num_log_iter when the windows interleave
+            # (num_eval_iter not a multiple of num_log_iter) misreports steps/s
+            window_start = start_it
+            for it in range(start_it, num_iters):
+                raw = prefetched
+                self.state, metrics = self._jit_step(self.state, raw)
+                tp = time.time()
+                prefetched = self._put_batch(next(loader))  # overlap with step
+                prefetch_acc += time.time() - tp
+                metrics_acc = metrics  # async device values; fetched on log only
 
-            step_now = it + 1
-            if step_now % cfg.num_log_iter == 0:
-                fetched = {}
-                for k, v in metrics_acc.items():
-                    if jnp.ndim(v) == 0:
-                        fv = float(v)
-                        # drop only ±inf (legit sentinels, e.g. SR's
-                        # max_reward=-inf before stage 2) — a NaN must stay
-                        # VISIBLE or divergence hides until the next eval
-                        if math.isfinite(fv) or math.isnan(fv):
-                            fetched[k] = fv
-                dt = time.time() - t0
-                steps_in_window = step_now - window_start
-                sps = steps_in_window / dt if steps_in_window else 0.0
-                lr = float(self._schedule(
-                    step_now + getattr(self, "_lr_log_offset", 0)))
-                log(f"it {step_now}/{num_iters} "
-                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
-                    + f" lr={lr:.2e} steps/s={sps:.2f}")
-                n = max(steps_in_window, 1)
-                self.sink.log({**{f"train/{k}": v for k, v in fetched.items()},
-                               "lr": lr, "train/steps_per_sec": sps,
-                               "train/prefetch_time": prefetch_acc / n,
-                               "train/run_time": max(dt / n - prefetch_acc / n,
-                                                     0.0)},
-                              step_now)
-                prefetch_acc = 0.0
-                t0 = time.time()
-                window_start = step_now
+                step_now = it + 1
+                if step_now % cfg.num_log_iter == 0:
+                    fetched = {}
+                    for k, v in metrics_acc.items():
+                        if jnp.ndim(v) == 0:
+                            fv = float(v)
+                            # drop only ±inf (legit sentinels, e.g. SR's
+                            # max_reward=-inf before stage 2) — a NaN must stay
+                            # VISIBLE or divergence hides until the next eval
+                            if math.isfinite(fv) or math.isnan(fv):
+                                fetched[k] = fv
+                    dt = time.time() - t0
+                    steps_in_window = step_now - window_start
+                    sps = steps_in_window / dt if steps_in_window else 0.0
+                    lr = float(self._schedule(
+                        step_now + getattr(self, "_lr_log_offset", 0)))
+                    log(f"it {step_now}/{num_iters} "
+                        + " ".join(f"{k}={v:.4f}" for k, v in sorted(fetched.items()))
+                        + f" lr={lr:.2e} steps/s={sps:.2f}")
+                    n = max(steps_in_window, 1)
+                    self.sink.log({**{f"train/{k}": v for k, v in fetched.items()},
+                                   "lr": lr, "train/steps_per_sec": sps,
+                                   "train/prefetch_time": prefetch_acc / n,
+                                   "train/run_time": max(dt / n - prefetch_acc / n,
+                                                         0.0)},
+                                  step_now)
+                    prefetch_acc = 0.0
+                    t0 = time.time()
+                    window_start = step_now
 
-            # host-side epoch actions (SAW/ADSH re-weighting etc.,
-            # reference after_train_epoch hooks)
-            if (self._iters_per_epoch and step_now % self._iters_per_epoch == 0
-                    and hasattr(self.alg, "on_epoch_end")):
-                new_state = self.alg.on_epoch_end(self, self.state)
-                if new_state is not None:
-                    self.state = new_state
+                # host-side epoch actions (SAW/ADSH re-weighting etc.,
+                # reference after_train_epoch hooks)
+                if (self._iters_per_epoch and step_now % self._iters_per_epoch == 0
+                        and hasattr(self.alg, "on_epoch_end")):
+                    new_state = self.alg.on_epoch_end(self, self.state)
+                    if new_state is not None:
+                        self.state = new_state
 
-            if step_now % cfg.num_eval_iter == 0 or step_now == num_iters:
-                eval_m = self.evaluate()
-                key = "top-1-acc" if not cfg.is_regression else "mse"
-                score = eval_m[key] if not cfg.is_regression else -eval_m[key]
-                # all ranks call save (sharded leaves gather collectively,
-                # checkpoint.py:_to_numpy); rank 0 alone writes the file
-                if score > self.best_metric:
-                    self.best_metric = score
-                    self.best_it = step_now
+                if step_now % cfg.num_eval_iter == 0 or step_now == num_iters:
+                    eval_m = self.evaluate()
+                    key = "top-1-acc" if not cfg.is_regression else "mse"
+                    score = eval_m[key] if not cfg.is_regression else -eval_m[key]
+                    # all ranks call save (sharded leaves gather collectively,
+                    # checkpoint.py:_to_numpy); rank 0 alone writes the file
+                    if score > self.best_metric:
+                        self.best_metric = score
+                        self.best_it = step_now
+                        ckpt.save_checkpoint(
+                            os.path.join(self._save_dir, "model_best.ckpt"),
+                            self.state, self._ckpt_extra(step_now, eval_m),
+                            write=self.rank == 0)
                     ckpt.save_checkpoint(
-                        os.path.join(self._save_dir, "model_best.ckpt"),
+                        os.path.join(self._save_dir, "latest_model.ckpt"),
                         self.state, self._ckpt_extra(step_now, eval_m),
                         write=self.rank == 0)
-                ckpt.save_checkpoint(
-                    os.path.join(self._save_dir, "latest_model.ckpt"),
-                    self.state, self._ckpt_extra(step_now, eval_m),
-                    write=self.rank == 0)
-                log(f"eval @ {step_now}: "
-                    + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
-                    + f" (best {self.best_metric:.4f} @ {self.best_it})")
-                self.sink.log({f"eval/{k}": v for k, v in eval_m.items()},
-                              step_now)
-                results = {f"eval/{k}": v for k, v in eval_m.items()}
-                results["eval/best_acc"] = self.best_metric
-                results["eval/best_it"] = self.best_it
-                if eval_hook:
-                    eval_hook(step_now, eval_m)
-                t0 = time.time()
-                window_start = step_now
-                prefetch_acc = 0.0
+                    log(f"eval @ {step_now}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in eval_m.items())
+                        + f" (best {self.best_metric:.4f} @ {self.best_it})")
+                    self.sink.log({f"eval/{k}": v for k, v in eval_m.items()},
+                                  step_now)
+                    results = {f"eval/{k}": v for k, v in eval_m.items()}
+                    results["eval/best_acc"] = self.best_metric
+                    results["eval/best_it"] = self.best_it
+                    if eval_hook:
+                        eval_hook(step_now, eval_m)
+                    t0 = time.time()
+                    window_start = step_now
+                    prefetch_acc = 0.0
 
-        if hasattr(loader, "close"):
-            loader.close()  # stop the prefetch producer thread
+        finally:
+            if hasattr(loader, "close"):
+                loader.close()  # stop the prefetch producer even on error
 
         # after_run protocol (reference hooks/evaluation.py:31-54): reload
         # the best checkpoint and evaluate the test split when one exists

@@ -96,7 +96,8 @@ def strong_augment_wave(rng, batch):
 
     On-device per-sample reproduction: two lax.switch slots over the
     four effect kernels. gain -n normalizes the peak to the drawn dBFS;
-    pitch is a duration-preserving resample pair at the cents factor;
+    pitch is a single resample at the cents factor (sox preserves
+    duration; the <=0.12% duration error sits in the zero-padded buffer);
     speed is a single resample (the trailing `rate` restores the sample
     rate, leaving the 1/speed duration change, zero-padded/truncated to
     the fixed buffer); reverb -w (wet-only) is approximated by a decaying
@@ -129,10 +130,14 @@ def _sox_gain_n(x, sp, pc, att):
 
 
 def _sox_pitch(x, sp, pc, att):
-    """`pitch <cents>`: duration-preserving ~0.1% shift — resample up
-    then back at the cents factor."""
+    """`pitch <cents>`: shift pitch by 2^(cents/1200). sox preserves
+    duration via WSOLA; here a single playback-rate resample applies the
+    same spectral shift with a <=0.12% duration error at the drawn +-2
+    cents (absorbed by the fixed zero-padded buffer) — a resample-up-
+    then-back pair would cancel to the identity and shift nothing
+    (DEVIATIONS.md #18)."""
     r = 2.0 ** (pc / 1200.0)
-    return _resample_linear(_resample_linear(x, r), 1.0 / r)
+    return _resample_linear(x, r)
 
 
 def _sox_speed(x, sp, pc, att):

@@ -163,6 +163,8 @@ class PrefetchLoader:
                                      name="batch-prefetch", daemon=True)
         self._thr.start()
 
+    _END = object()  # producer-exhausted sentinel (finite wrapped loaders)
+
     def _run(self, loader):
         import queue
 
@@ -176,6 +178,12 @@ class PrefetchLoader:
                         continue
                 if self._stop.is_set():
                     return
+            while not self._stop.is_set():  # finite loader drained
+                try:
+                    self._q.put(self._END, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
         except BaseException as e:  # surface on the consumer thread
             self._q.put(e)
 
@@ -184,6 +192,8 @@ class PrefetchLoader:
 
     def __next__(self):
         item = self._q.get()
+        if item is self._END:
+            raise StopIteration
         if isinstance(item, BaseException):
             raise item
         return item

@@ -47,13 +47,12 @@ class BertSelfAttention(nn.Module):
         # and (with use_flash) applies the p=0.1 prob dropout in-kernel via
         # a counter-based hash mask regenerated in the backward — see
         # ops/attention.py module docstring (documented RNG-stream
-        # deviation, DEVIATIONS.md). On a data-like mesh (pure-dp or
-        # data×fsdp) the shard_map'd wrapper keeps the pallas kernel
-        # (pallas_call has no GSPMD rule);
-        # WITHOUT use_flash the pallas path must never engage — the trainer
-        # leaves use_flash unset on 'model' (TP) meshes precisely because
-        # pallas_call under GSPMD would all-gather its operands, and that
-        # gate has to hold for eval too.
+        # deviation, DEVIATIONS.md). Under any mesh the shard_map'd
+        # wrapper keeps the pallas kernel out of GSPMD's hands (pallas_call
+        # has no partitioning rule and would all-gather its operands):
+        # data-like meshes (pure-dp / data×fsdp) shard the batch, 'model'
+        # (TP) meshes additionally shard the head dim — see
+        # ops/attention.py:flash_attention_sharded.
         from semireward_tpu.ops.attention import flash_fn
         flash = flash_fn(self.fused_mesh)
         if not train:

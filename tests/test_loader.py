@@ -151,6 +151,25 @@ class TestPrefetchLoader:
             next(p)
         p.close()
 
+    def test_finite_iterator_raises_stopiteration(self):
+        """A finite wrapped loader must surface exhaustion as
+        StopIteration, not hang the consumer on an empty queue (the
+        training loaders are infinite, but fit()-style epoch generators
+        and user-supplied iterables are not)."""
+        from semireward_tpu.data.loader import PrefetchLoader
+
+        p = PrefetchLoader(iter([{"x": np.zeros(1)}, {"x": np.ones(1)}]),
+                           depth=2)
+        try:
+            assert next(p)["x"][0] == 0
+            assert next(p)["x"][0] == 1
+            with pytest.raises(StopIteration):
+                next(p)
+            # iteration protocol: a for-loop over the wrapper terminates
+            assert list(PrefetchLoader(iter([]), depth=1)) == []
+        finally:
+            p.close()
+
     def test_close_stops_producer(self):
         from semireward_tpu.data.loader import PrefetchLoader
 

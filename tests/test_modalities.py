@@ -373,14 +373,26 @@ class TestSoxEffectKernels:
         np.testing.assert_allclose(float(jnp.max(jnp.abs(y))),
                                    10 ** (-3 / 20), rtol=1e-4)
 
-    def test_pitch_cents_is_near_identity(self, rs):
-        # sox `pitch` takes CENTS: +-2 cents is a <0.2% factor, so the
-        # effect must be tiny (the reference's draw is -2+4*random())
+    def test_pitch_shifts_frequency_by_cents_factor(self, rs):
+        # the defining property: `pitch <cents>` scales frequency by
+        # 2^(cents/1200) — at +1200 cents a sine at w comes out at 2w
+        # (an up-then-back resample pair would cancel to the identity
+        # and fail this). At the reference's +-2 cent draws the factor
+        # is <0.2%, i.e. near-inaudible, which the small-phase check
+        # below pins down.
         from semireward_tpu.data.audio import _sox_pitch
-        x = jnp.asarray(np.sin(np.arange(1600) * 0.05), jnp.float32)
-        y = _sox_pitch(x, 1.0, jnp.float32(2.0), 0.0)
-        err = float(jnp.max(jnp.abs(y[:1500] - x[:1500])))
-        assert err < 0.05, err
+        t = np.arange(1600)
+        x = jnp.asarray(np.sin(t * 0.05), jnp.float32)
+        y = _sox_pitch(x, 1.0, jnp.float32(1200.0), 0.0)
+        want = np.sin(t * 0.10)  # doubled frequency, first half valid
+        err = float(jnp.max(jnp.abs(y[:700] - want[:700])))
+        assert err < 0.01, err
+        # +2 cents: tiny factor -> max phase drift w*T*(r-1) ~ 0.093 rad
+        y2 = _sox_pitch(x, 1.0, jnp.float32(2.0), 0.0)
+        r = 2.0 ** (2.0 / 1200.0)
+        want2 = np.sin(t * 0.05 * r)
+        assert float(jnp.max(jnp.abs(y2[:1500] - want2[:1500]))) < 0.01
+        assert float(jnp.max(jnp.abs(y2[:1500] - x[:1500]))) < 0.12
 
     def test_speed_changes_duration(self):
         from semireward_tpu.data.audio import _sox_speed

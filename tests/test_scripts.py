@@ -198,7 +198,10 @@ def test_quality_artifacts_median_gain_contract():
 
     reports = []
     for name in ("QUALITY_r03.json", "QUALITY_r03_seed1.json",
-                 "QUALITY_r03_seed2.json"):
+                 "QUALITY_r03_seed2.json",
+                 # the round-4 3-seed regeneration obeys the same contract
+                 "QUALITY_r04.json", "QUALITY_r04_seed1.json",
+                 "QUALITY_r04_seed2.json"):
         with open(os.path.join(REPO, name)) as f:
             reports.append(json.load(f))
     fams = lambda r: {**r.get("thresholding_families", {}),
@@ -212,3 +215,27 @@ def test_quality_artifacts_median_gain_contract():
     # SemiReward uniform-noise filtering: positive at every committed seed
     sr_gains = [r["semireward_noise"]["sr_gain"] for r in reports]
     assert all(g > 0 for g in sr_gains), sr_gains
+
+
+def test_bench_flops_accounting_split_forward():
+    """bench.py's MFU basis counts EXECUTED FLOPs: rows whose backward
+    never runs (the stop-graded weak ulb view, via use_cat=False or the
+    split-forward path) must not be billed backward work."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # WRN: bwd ~= 2x fwd; forward-only rows pay 1x
+    assert bench.wrn_step_flops(1.0, 24) == 3.0 * 24
+    assert bench.wrn_step_flops(1.0, 24, images_bwd=16) == 24 + 2.0 * 16
+
+    # ViT: full = fwd(2PN) + bwd(4PN) per image (+ attn terms); the split
+    # form must equal full minus the weak rows' bwd share exactly
+    full = bench.vit_step_flops(1e6, tokens=257, images=24, hidden=384,
+                                layers=12)
+    split = bench.vit_step_flops(1e6, tokens=257, images=24, hidden=384,
+                                 layers=12, images_bwd=16)
+    per_img_bwd = 4.0 * 1e6 * 257 + 12.0 * (257 * 257 * 384 * 12)
+    assert abs((full - split) - 8 * per_img_bwd) / full < 1e-12
