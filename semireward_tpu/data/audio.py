@@ -7,8 +7,10 @@ datasetbase.py} and collactors/audio_collactor.py:
   datasetbase.py:177-230)
 - strong view = the reference's sox chain (gain / pitch / speed / reverb,
   datasetbase.py:231-301) re-expressed as vectorized jnp ops: gain is exact;
-  speed/pitch are linear-interp resampling (sox uses higher-order kernels —
-  documented approximation); reverb is a decaying comb echo.
+  speed/pitch are windowed-sinc resampling (sox's resampler class; its
+  Kaiser window is longer — documented approximation); reverb is the
+  Freeverb comb/allpass structure sox's reverb implements, wet-only
+  (DEVIATIONS.md #18).
 - collator pads/crops to the static ``max_length_seconds * sample_rate``
   bucket so jit sees one shape.
 """
@@ -85,6 +87,38 @@ def _resample_linear(x, rate):
     return jnp.where(pos < T - 1, y, 0.0)
 
 
+_SINC_TAPS = 16
+
+
+def _resample_sinc(x, rate):
+    """Windowed-sinc resample of [T] by `rate` (same length out, zero
+    tail) — the quality class of sox's `rate`/`speed` resampler (sox uses
+    a longer Kaiser-windowed sinc; this is a 16-tap Hann-windowed one,
+    DEVIATIONS.md #18). The kernel cutoff drops to 1/rate when rate>1
+    (reading faster = decimation), which is the anti-alias lowpass a
+    linear interpolator lacks. Fully vectorized: one [K,T] gather + a
+    weighted reduce — no data-dependent control flow, jit/vmap-safe,
+    `rate` may be a traced scalar."""
+    T = x.shape[0]
+    pos = jnp.arange(T, dtype=jnp.float32) * rate
+    lo = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    half = _SINC_TAPS // 2
+    k = jnp.arange(-half + 1, half + 1, dtype=jnp.float32)  # [-7..8]
+    off = k[:, None] - frac[None, :]                         # [K, T]
+    cut = jnp.minimum(1.0, 1.0 / rate)
+    win = 0.5 + 0.5 * jnp.cos(jnp.pi * jnp.clip(off / half, -1.0, 1.0))
+    w = cut * jnp.sinc(cut * off) * win
+    # renormalize so DC gain is exactly 1 at every fractional phase (the
+    # truncated window otherwise ripples by ~1e-3)
+    w = w / jnp.sum(w, axis=0, keepdims=True)
+    src = lo[None, :] + k.astype(jnp.int32)[:, None]
+    valid = (src >= 0) & (src <= T - 1)
+    y = jnp.sum(jnp.where(valid, x[jnp.clip(src, 0, T - 1)] * w, 0.0),
+                axis=0)
+    return jnp.where(pos < T - 1, y, 0.0)
+
+
 def strong_augment_wave(rng, batch):
     """Reference WaveformTransforms (audio_datasets/datasetbase.py:12-39):
     draws per sample speed in [0.5, 2.0) (0.5 + 1.5*random()), pitch in
@@ -100,9 +134,9 @@ def strong_augment_wave(rng, batch):
     duration; the <=0.12% duration error sits in the zero-padded buffer);
     speed is a single resample (the trailing `rate` restores the sample
     rate, leaving the 1/speed duration change, zero-padded/truncated to
-    the fixed buffer); reverb -w (wet-only) is approximated by a decaying
-    3-tap echo tail replacing the dry signal (documented approximation,
-    DEVIATIONS.md #18 — sox's reverb is a dense Freeverb tail)."""
+    the fixed buffer); reverb -w (wet-only) is the Freeverb comb/allpass
+    bank sox's reverb implements, FIR-expanded (no HF damping in the
+    feedback — documented approximation, DEVIATIONS.md #18)."""
     B, T = batch.shape
     keys = jax.random.split(rng, 5)
     speed = jax.random.uniform(keys[0], (B,), minval=0.5, maxval=2.0)
@@ -137,25 +171,77 @@ def _sox_pitch(x, sp, pc, att):
     then-back pair would cancel to the identity and shift nothing
     (DEVIATIONS.md #18)."""
     r = 2.0 ** (pc / 1200.0)
-    return _resample_linear(x, r)
+    return _resample_sinc(x, r)
 
 
 def _sox_speed(x, sp, pc, att):
     """`speed <s>` + trailing `rate`: 1/s duration at the original
     sample rate (fixed buffer: zero-padded / truncated)."""
-    return _resample_linear(x, sp)
+    return _resample_sinc(x, sp)
+
+
+# Freeverb constants (Jezar's public-domain reverberator — the filter
+# structure sox's `reverb` implements, reverb.c): 8 parallel feedback
+# combs + 4 series allpasses, delays quoted at 44.1 kHz and scaled to
+# the pipeline's sample rate. Feedback 0.84 = the freeverb default room
+# size (sox maps reverberance 50% to approximately this); allpass g=0.5;
+# 0.015 input gain. Mono (stereo-depth immaterial), wet-only.
+_SR = 16000
+_COMB_DELAYS_44K = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+_ALLPASS_DELAYS_44K = (556, 441, 341, 225)
+_COMB_FEEDBACK = 0.84
+_ALLPASS_G = 0.5
+
+
+def _delayed(x, d, T):
+    return jnp.pad(x, (d, 0))[:T]
 
 
 def _sox_reverb_wet(x, sp, pc, att):
-    """`reverb -w` (wet-only): the tail alone, no dry term — approximated
-    by a decaying 3-tap echo (sox's is a dense Freeverb tail;
-    DEVIATIONS.md #18)."""
+    """`reverb -w` (wet-only): Freeverb structure — 8 parallel feedback
+    combs + 4 series allpass diffusers, no dry term. Each comb's IIR
+    y = sum_k f^(k-1) x[t-kd] is FIR-expanded over its reflections and
+    evaluated as a lax.scan of static-shift delays (k capped where
+    f^k < 1e-3, a -60 dB tail), so the whole effect is jit/vmap-friendly
+    with no time-sequential recursion. Remaining deviations from sox:
+    no HF damping in the comb feedback, and sox's exact reverberance ->
+    feedback mapping is approximated by the freeverb default
+    (DEVIATIONS.md #18)."""
+    import math
+
     T = x.shape[0]
-    d = 800  # ~50 ms at 16 kHz
-    pad = jnp.pad(x, (d, 0))[:T]
-    pad2 = jnp.pad(x, (2 * d, 0))[:T]
-    pad3 = jnp.pad(x, (3 * d, 0))[:T]
-    return 0.6 * pad + 0.36 * pad2 + 0.216 * pad3
+    f = _COMB_FEEDBACK
+    n_refl = int(math.ceil(math.log(1e-3) / math.log(f)))  # ~40
+    xin = 0.015 * x  # freeverb fixed input gain
+    out = jnp.zeros_like(x)
+    for d44 in _COMB_DELAYS_44K:
+        d = max(1, round(d44 * _SR / 44100))
+
+        def comb_body(carry, _, d=d):
+            r, acc = carry
+            r = f * _delayed(r, d, T)
+            return (r, acc + r), None
+
+        first = _delayed(xin, d, T)
+        (_, acc), _ = jax.lax.scan(comb_body, (first, first), None,
+                                   length=n_refl - 1)
+        out = out + acc
+    # series allpass: y = -g x + (1-g^2) sum_k g^k x[t-(k+1)d]
+    g = _ALLPASS_G
+    n_ap = int(math.ceil(math.log(1e-3) / math.log(g)))  # 10
+    for d44 in _ALLPASS_DELAYS_44K:
+        d = max(1, round(d44 * _SR / 44100))
+
+        def ap_body(carry, _, d=d):
+            r, acc = carry
+            r = g * _delayed(r, d, T)
+            return (r, acc + r), None
+
+        first = _delayed(out, d, T)
+        (_, s), _ = jax.lax.scan(ap_body, (first, first), None,
+                                 length=n_ap - 1)
+        out = -g * out + (1.0 - g * g) * s
+    return out
 
 
 def weak_augment_wave(rng, batch, orig_lens=None):

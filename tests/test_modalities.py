@@ -407,7 +407,53 @@ class TestSoxEffectKernels:
         x = jnp.zeros(3200, jnp.float32).at[0].set(1.0)  # impulse
         y = _sox_reverb_wet(x, 1.0, 0.0, 0.0)
         assert float(y[0]) == 0.0          # wet-only: dry impulse gone
-        assert float(y[800]) > 0.0          # first echo tap at d
+        # first reflection = shortest comb delay (1116 @44.1k -> 405 @16k)
+        assert float(jnp.abs(y[:405]).max()) == 0.0
+        assert float(jnp.abs(y[405])) > 0.0
+
+    def test_reverb_wet_is_dense_decaying_freeverb_tail(self):
+        """sox's reverb is Freeverb: 8 parallel feedback combs + 4 series
+        allpasses. The wet impulse response must be a DENSE tail (a 3-tap
+        echo is not), with energy decaying across windows at the comb
+        feedback rate."""
+        from semireward_tpu.data.audio import _sox_reverb_wet
+        T = 6400
+        x = jnp.zeros(T, jnp.float32).at[0].set(1.0)
+        h = np.asarray(_sox_reverb_wet(x, 1.0, 0.0, 0.0))
+        nz = np.count_nonzero(np.abs(h) > 1e-7)
+        assert nz > 1000, nz  # dense reflections, not a sparse echo
+        e1 = float((h[405:2400] ** 2).sum())
+        e2 = float((h[2400:4400] ** 2).sum())
+        e3 = float((h[4400:6400] ** 2).sum())
+        assert e1 > e2 > e3 > 0.0, (e1, e2, e3)
+        assert np.isfinite(h).all() and np.abs(h).max() < 1.0
+
+    def test_sinc_resample_beats_linear_and_antialiases(self):
+        """The windowed-sinc resampler (sox's resampler class) must
+        reconstruct in-band content far better than linear interp and
+        suppress aliased content when reading faster than 1x (the
+        anti-alias lowpass linear interp lacks). Interior only — the
+        first/last half-kernel rides the edge."""
+        from semireward_tpu.data.audio import (_resample_linear,
+                                               _resample_sinc)
+        T = 4000
+        t = np.arange(T)
+        x = jnp.asarray(np.sin(1.0 * t), jnp.float32)
+        r = 0.7
+        want = np.sin(1.0 * np.arange(T) * r)
+        ys = np.asarray(_resample_sinc(x, r))
+        yl = np.asarray(_resample_linear(x, r))
+        es = np.abs(ys[20:T - 40] - want[20:T - 40]).max()
+        el = np.abs(yl[20:T - 40] - want[20:T - 40]).max()
+        assert es < 0.005, es
+        assert es < el / 10, (es, el)
+        # alias suppression: a 0.8*pi sine read at 2x lands at 1.6*pi —
+        # out of band; the sinc output must be near-silent there
+        x2 = jnp.asarray(np.sin(0.8 * np.pi * t), jnp.float32)
+        ys2 = np.asarray(_resample_sinc(x2, 2.0))[20:T // 2 - 20]
+        yl2 = np.asarray(_resample_linear(x2, 2.0))[20:T // 2 - 20]
+        assert float(np.sqrt((ys2 ** 2).mean())) < 0.02
+        assert float(np.sqrt((yl2 ** 2).mean())) > 0.3  # linear aliases
 
     def test_choose_two_effects_with_replacement(self, rs):
         """The reference applies random.choices(k=2) of the 4 effects —
