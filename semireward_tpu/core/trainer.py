@@ -215,6 +215,24 @@ class Trainer:
             sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
         self.state, self.tx = init_train_state(cfg, self.alg, self.model, rng,
                                                sample, builder=builder)
+        if cfg.use_pretrain:
+            # reference train.py net_builder(pretrained=..,
+            # pretrained_path=..): graft the released torch checkpoint
+            # onto the freshly-initialized backbone; the EMA shadow
+            # restarts from the grafted weights (reference EMA
+            # registers after load, core/utils/misc.py:132-165).
+            # Optimizer moments are zero-initialized either way.
+            from semireward_tpu.models.utils import load_pretrained
+            grafted = load_pretrained(cfg.net, self.state.params,
+                                      cfg.pretrain_path)
+            grafted = jax.tree_util.tree_map(  # keep the init dtypes so the
+                lambda g, p: jnp.asarray(g, p.dtype),  # jitted step/opt_state
+                grafted, self.state.params)            # signatures are stable
+            self.state = self.state.replace(
+                params=grafted,
+                ema_params=jax.tree_util.tree_map(jnp.copy, grafted))
+            self.logger.info(
+                f"pretrained backbone loaded from {cfg.pretrain_path}")
         self._raw_step = make_train_step(cfg, self.alg, self.model, self.tx)
         self._schedule = cosine_schedule_with_warmup(
             cfg.lr, cfg.num_train_iter, cfg.num_warmup_iter)

@@ -121,10 +121,14 @@ def load_pretrained(model_name: str, params, checkpoint_path: str):
         raise FileNotFoundError(
             f"pretrain_path '{checkpoint_path}' not found (no network in this "
             f"environment — place the released .pth locally)")
-    if model_name.startswith("vit"):
+    if model_name.startswith(("vit", "dinov2")):
         return load_vit_checkpoint(params, checkpoint_path)
     if model_name.startswith("bert"):
         from semireward_tpu.models.bert import load_hf_bert_weights
         return load_hf_bert_weights(params, _torch_state_dict(checkpoint_path))
+    if model_name.startswith(("hubert", "wave2vecv2")):
+        from semireward_tpu.models.hubert import load_hf_audio_weights
+        return load_hf_audio_weights(params,
+                                     _torch_state_dict(checkpoint_path))
     raise NotImplementedError(
         f"pretrained import for '{model_name}' not wired yet")

@@ -300,3 +300,61 @@ class TestGenuineHFForwardParity:
             ref = hf(torch.tensor(wav)).last_hidden_state.mean(dim=1).numpy()
         np.testing.assert_allclose(np.asarray(feat), ref, rtol=1e-3,
                                    atol=2e-3)
+
+
+class TestUsePretrainTrainerPath:
+    def test_trainer_grafts_checkpoint_and_trains(self, tmp_path):
+        """The CLI surface (reference train.py: net_builder(pretrained=
+        args.use_pretrain, pretrained_path=args.pretrain_path)): a config
+        with use_pretrain=True must graft the .pth onto the backbone at
+        Trainer construction — params AND the EMA shadow — and the
+        grafted state must still train."""
+        import torch
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        sd = _fake_timm_vit_sd(grid=16, seed=3)
+        path = tmp_path / "pretrained.pth"
+        torch.save({"model": {k: torch.from_numpy(v)
+                              for k, v in sd.items()}}, str(path))
+
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="vit_tiny_patch2_32",
+            dataset="synthetic", num_classes=10, num_labels=40,
+            batch_size=4, uratio=1, eval_batch_size=8, img_size=32,
+            crop_ratio=0.875, num_train_iter=2, num_eval_iter=1 << 30,
+            num_log_iter=1, optim="AdamW", lr=5e-4, ema_m=0.999, seed=0,
+            compute_dtype="float32", save_dir=str(tmp_path),
+            use_pretrain=True, pretrain_path=str(path), mesh_shape=(1,)))
+        cfg.extra["synthetic_train"] = 64
+        cfg.extra["synthetic_test"] = 16
+        tr = Trainer(cfg, use_mesh=False)
+
+        got = np.asarray(tr.state.params["blocks0"]["attn"]["proj"]["kernel"])
+        want = sd["blocks.0.attn.proj.weight"].T
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        got_pe = np.asarray(tr.state.params["pos_embed"])
+        np.testing.assert_allclose(got_pe, sd["pos_embed"], rtol=1e-6)
+        # EMA shadow restarts FROM the grafted weights, not the random init
+        ema = np.asarray(tr.state.ema_params["blocks0"]["attn"]["proj"]
+                         ["kernel"])
+        np.testing.assert_allclose(ema, want, rtol=1e-6)
+        # head stays randomly initialized (skip_head: num_classes differs)
+        head = np.asarray(tr.state.params["head"]["kernel"])
+        assert not np.allclose(head, sd["head.weight"].T)
+        tr.train()  # 2 steps: the grafted state jits and steps
+
+    def test_missing_path_raises_actionable_error(self, tmp_path):
+        from semireward_tpu.config import get_config
+        from semireward_tpu.core.trainer import Trainer
+
+        cfg = get_config(dict(
+            algorithm="fixmatch", net="vit_tiny_patch2_32",
+            dataset="synthetic", num_classes=10, num_labels=40,
+            batch_size=4, uratio=1, eval_batch_size=8, img_size=32,
+            num_train_iter=2, num_eval_iter=1 << 30, num_log_iter=1,
+            seed=0, compute_dtype="float32", save_dir=str(tmp_path),
+            use_pretrain=True, pretrain_path="", mesh_shape=(1,)))
+        cfg.extra["synthetic_train"] = 64
+        with pytest.raises(FileNotFoundError, match="pretrain_path"):
+            Trainer(cfg, use_mesh=False)
