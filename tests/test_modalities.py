@@ -455,6 +455,66 @@ class TestSoxEffectKernels:
         assert float(np.sqrt((ys2 ** 2).mean())) < 0.02
         assert float(np.sqrt((yl2 ** 2).mean())) > 0.3  # linear aliases
 
+    def test_banded_resampler_matches_per_output_form(self, rs):
+        """The TPU-optimized banded form of _resample_sinc (G=16 output
+        blocks sharing one contiguous source window, weights evaluated
+        at source_index - pos) must be the SAME filter as the textbook
+        per-output 16-tap windowed sinc — taps outside +-half carry an
+        exactly-zero Hann factor, so banding may not change the math.
+        Checked against a NumPy per-output evaluation across rates and
+        non-multiple-of-16 lengths."""
+        from semireward_tpu.data.audio import _SINC_TAPS, _resample_sinc
+
+        def per_output(x, rate):
+            T = len(x)
+            half = _SINC_TAPS // 2
+            y = np.zeros(T, np.float64)
+            cut = min(1.0, 1.0 / rate)
+            for t in range(T):
+                pos = t * rate
+                if pos >= T - 1:
+                    break
+                lo = int(np.floor(pos))
+                acc = den = 0.0
+                for k in range(-half + 1, half + 1):
+                    off = (lo + k) - pos
+                    win = 0.5 + 0.5 * np.cos(
+                        np.pi * np.clip(off / half, -1.0, 1.0))
+                    w = cut * np.sinc(cut * off) * win
+                    den += w
+                    src = lo + k
+                    if 0 <= src <= T - 1:
+                        acc += w * x[src]
+                y[t] = acc / den
+            return y
+
+        for T in (200, 213):
+            x = rs.randn(T).astype(np.float32)
+            for r in (0.5, 0.91, 1.0, 1.62, 2.0):
+                got = np.asarray(_resample_sinc(jnp.asarray(x),
+                                                jnp.float32(r)))
+                want = per_output(x, r)
+                # f32 weight evaluation vs the float64 reference: ~3e-5
+                np.testing.assert_allclose(got, want, atol=1e-4,
+                                           err_msg=f"T={T} rate={r}")
+
+    def test_reverb_blocked_iir_matches_direct_recurrence(self, rs):
+        """_comb_sum's frame-blocked associative_scan must equal the
+        direct per-sample IIR y[t] = x[t-d] + coef*y[t-d] (no
+        truncation)."""
+        from semireward_tpu.data.audio import _comb_sum
+        T = 3000
+        x = rs.randn(T).astype(np.float32)
+        for coef, d in ((0.84, 405), (0.5, 128), (0.84, 7), (0.3, 587)):
+            want = np.zeros(T, np.float64)
+            for t in range(T):
+                prev = want[t - d] if t >= d else 0.0
+                xd = x[t - d] if t >= d else 0.0
+                want[t] = xd + coef * prev
+            got = np.asarray(_comb_sum(jnp.asarray(x), coef, d))
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"coef={coef} d={d}")
+
     def test_choose_two_effects_with_replacement(self, rs):
         """The reference applies random.choices(k=2) of the 4 effects —
         over a large batch all 16 ordered pairs must occur, and samples
