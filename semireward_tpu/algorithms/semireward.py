@@ -328,7 +328,11 @@ class SemiRewardWrapper(Algorithm):
                 def _final_perturb(x, eps):
                     if jnp.issubdtype(x.dtype, jnp.floating):
                         return x + eps * 1e-45
-                    return x + (eps * 0.0).astype(x.dtype)
+                    # NaN-safe exact zero: if a diverged run makes eps
+                    # non-finite, NaN*0 = NaN and the int cast would turn
+                    # token ids into garbage — sanitize first
+                    safe = jnp.where(jnp.isfinite(eps), eps, 0.0)
+                    return x + (safe * 0.0).astype(x.dtype)
 
                 def body(i, carry):
                     st, _mask, _eps = carry

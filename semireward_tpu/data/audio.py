@@ -158,7 +158,12 @@ def strong_augment_wave(rng, batch):
     keys = jax.random.split(rng, 5)
     speed = jax.random.uniform(keys[0], (B,), minval=0.5, maxval=2.0)
     pitch_cents = jax.random.uniform(keys[1], (B,), minval=-2.0, maxval=2.0)
-    atten_db = jax.random.randint(keys[2], (B,), -5, 5).astype(jnp.float32)
+    # reference draws int(-5.0 + 10.0*random()) (datasetbase.py) — int()
+    # TRUNCATES toward zero, so the support is {-4..4} with 0 at double
+    # mass and -5 unreachable; jnp.trunc of the same uniform reproduces
+    # that distribution exactly (a randint(-5, 5) floor draw would not)
+    atten_db = jnp.trunc(
+        jax.random.uniform(keys[2], (B,), minval=-5.0, maxval=5.0))
     choice = jax.random.randint(keys[3], (B, 2), 0, 4)
 
     def apply_one(x, c, sp, pc, att):

@@ -185,7 +185,18 @@ class PrefetchLoader:
                 except queue.Full:
                     continue
         except BaseException as e:  # surface on the consumer thread
-            self._q.put(e)
+            # bounded, stop-aware put: an unconditional blocking put would
+            # hang this daemon thread forever if the consumer already
+            # close()d after its own error (queue full, nobody draining)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(e, timeout=0.25)
+                    break
+                except queue.Full:
+                    try:  # drop one stale batch to make room for the error
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     def __iter__(self):
         return self

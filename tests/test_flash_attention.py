@@ -277,10 +277,10 @@ def test_sharded_2d_mesh_bit_identical(rs):
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_trainer_mesh_gating(tmp_path):
-    """use_flash_attention on an 8-way pure-dp mesh AND on the 2-D
-    data×fsdp mesh wires the shard_map'd kernel (fused_mesh) and trains;
-    only a 'model' (TP) mesh falls back to the XLA einsum attention
-    (pallas_call has no GSPMD rule)."""
+    """use_flash_attention wires the shard_map'd kernel (fused_mesh) and
+    trains on EVERY mesh family: the 8-way pure-dp mesh, the 2-D
+    data×fsdp mesh, and (round 4) the data×model TP mesh, where the
+    wrapper shards the head dim over 'model' and keeps the kernel."""
     import semireward_tpu as st
 
     base = dict(
