@@ -89,11 +89,22 @@ class Trainer:
             else:
                 from semireward_tpu.data.nlp import (get_nlp_dataset,
                                                      get_tokenizer,
-                                                     NLPCollator)
+                                                     NLPCollator,
+                                                     auto_buckets)
                 splits = get_nlp_dataset(cfg, cfg.algorithm)
                 self.bundle = GenericBundle(splits, cfg.num_classes)
+                # static length buckets (default 64/128/256/max_length):
+                # batches pad to the smallest bucket that fits — the
+                # reference's dynamic-padding FLOP economics
+                # (nlp_collactor.py:49-126) under jit's static shapes.
+                # extra['length_buckets'] = list to override, or
+                # False/[] to pin the single max_length bucket.
+                bk = cfg.extra.get("length_buckets", "auto")
+                bk = auto_buckets(cfg.max_length) if bk == "auto" \
+                    else (bk or None)
                 self.collator = NLPCollator(get_tokenizer(cfg.net),
-                                            max_length=cfg.max_length)
+                                            max_length=cfg.max_length,
+                                            buckets=bk)
         elif self.modality == "audio":
             from semireward_tpu.data.audio import (get_audio_dataset,
                                                    AudioCollator)

@@ -53,7 +53,8 @@ def modality_of(net_name: str) -> str:
 
 class NLPSSLLoader:
     """Yields tokenized view batches directly (keys shaped like the
-    reference's nlp collator output)."""
+    reference's nlp collator output), jointly bucketed per step when the
+    collator has static length buckets (data/nlp.py:NLPCollator)."""
 
     def __init__(self, splits, collator, batch_size, ulb_batch_size,
                  batch_keys, seed=0, rank=0, world=1):
@@ -69,6 +70,42 @@ class NLPSSLLoader:
         self._ulb = batched(infinite_indices(len(self.ulb), seed + 1,
                                              rank, world), ulb_batch_size)
         self._rs = np.random.RandomState(seed + 2 + 1000 * rank)
+        # Multi-host + buckets: the bucket MUST be identical on every host
+        # (SPMD one-program rule) but each host sees only its 1/world batch
+        # shard. infinite_indices rank-strides ONE shared permutation, so
+        # the union of all ranks' step-t indices is exactly positions
+        # [t*world*bs, (t+1)*world*bs) of the unstrided stream — every host
+        # re-derives the GLOBAL batch, bounds its max token length from a
+        # precomputed per-text cap (max over 'ori' + both augs, covering
+        # any strong pick), and picks the same bucket with no collective.
+        self._global = None
+        if world > 1 and getattr(collator, "buckets", None) \
+                and len(collator.buckets) > 1:
+            self._global = (
+                batched(self._global_stream(len(self.lb), seed, world),
+                        batch_size * world),
+                batched(self._global_stream(len(self.ulb), seed + 1, world),
+                        ulb_batch_size * world),
+                self._text_maxlens(self.lb),
+                self._text_maxlens(self.ulb),
+            )
+
+    @staticmethod
+    def _global_stream(n, seed, world):
+        g = np.random.RandomState(seed)
+        stop = n - (n % world)
+        while True:
+            perm = g.permutation(n)
+            for i in range(stop):
+                yield perm[i]
+
+    def _text_maxlens(self, ds) -> np.ndarray:
+        tl = self.col.token_len
+        if getattr(ds, "augs", None):
+            return np.asarray([max(tl(t), max(tl(a) for a in augs))
+                               for t, augs in zip(ds.texts, ds.augs)],
+                              np.int32)
+        return np.asarray([tl(t) for t in ds.texts], np.int32)
 
     def __iter__(self):
         return self
@@ -81,6 +118,18 @@ class NLPSSLLoader:
             "idx_lb": li.astype(np.int32),
             "idx_ulb": ui.astype(np.int32),
         }
+        if hasattr(self.col, "collate_views"):
+            length = None
+            if self._global is not None:
+                glb, gulb, lens_lb, lens_ulb = self._global
+                cap = max(int(lens_lb[next(glb)].max()),
+                          int(lens_ulb[next(gulb)].max()))
+                length = self.col.bucket_for(cap)
+            out.update(self.col.collate_views(self.lb, self.ulb, li, ui,
+                                              self.keys, self._rs,
+                                              length=length))
+            return out
+        # collators without joint bucketing (BioCollator): per-view pad
         for k in self.keys:
             if k == "x_lb":
                 out[k] = self.col.views(self.lb, li, self._rs, strong=False)
