@@ -274,7 +274,7 @@ def get_dataset(cfg, alg: str = "fixmatch") -> SSLDataBundle:
         mm = "tissuemnist" if name == "medmnist" else name
         from semireward_tpu.data.cv_extra import load_medmnist
         (data, targets), (vdata, vtargets), (tdata, ttargets) = \
-            load_medmnist(cfg.data_dir, mm)
+            load_medmnist(cfg.data_dir, mm, num_classes=cfg.num_classes)
         tdata, ttargets = vdata, vtargets  # eval split = val (USB convention)
         from semireward_tpu.data.cv_extra import MEAN_STD
         ms = MEAN_STD.get(mm, ((0.5,), (0.5,)))

@@ -207,21 +207,32 @@ class TestBio:
 
 
 class TestMedMNIST:
-    def test_any_member_loads_by_name(self, tmp_path):
-        """Any MedMNIST member resolves via its <name>.npz (the reference
-        vendors the full INFO catalog, medmnist.py:24-200)."""
+    @staticmethod
+    def _write_member(tmp_path, name, n_classes, channels, n=256):
         import numpy as np
-        import semireward_tpu as st
 
         rs = np.random.RandomState(0)
-        np.savez(tmp_path / "bloodmnist.npz",
-                 train_images=rs.randint(0, 255, (256, 28, 28), np.uint8),
-                 train_labels=rs.randint(0, 8, (256, 1)),
-                 val_images=rs.randint(0, 255, (64, 28, 28), np.uint8),
-                 val_labels=rs.randint(0, 8, (64, 1)),
-                 test_images=rs.randint(0, 255, (64, 28, 28), np.uint8),
-                 test_labels=rs.randint(0, 8, (64, 1)))
-        cfg = st.get_config(dict(algorithm="fixmatch", dataset="bloodmnist",
+        shp = (28, 28) if channels == 1 else (28, 28, channels)
+
+        def imgs(k):
+            return rs.randint(0, 255, (k,) + shp, np.uint8)
+
+        def labs(k):
+            return rs.randint(0, n_classes, (k, 1))
+
+        np.savez(tmp_path / f"{name}.npz",
+                 train_images=imgs(n), train_labels=labs(n),
+                 val_images=imgs(n // 4), val_labels=labs(n // 4),
+                 test_images=imgs(n // 4), test_labels=labs(n // 4))
+
+    def test_any_member_loads_by_name(self, tmp_path):
+        """Any MedMNIST member resolves via its <name>.npz, with its
+        class/channel facts validated against the vendored INFO catalog
+        (cv_extra.py:MEDMNIST_INFO; reference medmnist.py:24-200)."""
+        import semireward_tpu as st
+
+        self._write_member(tmp_path, "tissuemnist", 8, 1)
+        cfg = st.get_config(dict(algorithm="fixmatch", dataset="tissuemnist",
                                  num_classes=8, num_labels=16,
                                  data_dir=str(tmp_path), img_size=28,
                                  net="wrn_28_2"))
@@ -231,6 +242,46 @@ class TestMedMNIST:
         assert b.train_ulb.data.shape == (256, 28, 28, 3)
         assert b.eval.data.shape == (64, 28, 28, 3)
         assert b.mean == (0.5, 0.5, 0.5)
+
+    def test_rgb_member_and_catalog_coverage(self, tmp_path):
+        """pathmnist (native RGB) loads; the catalog covers all 18 v2
+        members including the 3D ones."""
+        from semireward_tpu.data.cv_extra import (MEDMNIST_INFO,
+                                                  load_medmnist)
+
+        assert len(MEDMNIST_INFO) == 18
+        assert MEDMNIST_INFO["organmnist3d"]["n_classes"] == 11
+        self._write_member(tmp_path, "pathmnist", 9, 3)
+        (x, y), _, _ = load_medmnist(str(tmp_path), "pathmnist",
+                                     num_classes=9)
+        assert x.shape == (256, 28, 28, 3) and y.max() < 9
+
+    def test_wrong_num_classes_fails_loudly(self, tmp_path):
+        import pytest
+        from semireward_tpu.data.cv_extra import load_medmnist
+
+        self._write_member(tmp_path, "bloodmnist", 8, 3)
+        with pytest.raises(ValueError, match="8 classes"):
+            load_medmnist(str(tmp_path), "bloodmnist", num_classes=10)
+
+    def test_channel_mismatch_fails_loudly(self, tmp_path):
+        """A grayscale npz masquerading as an RGB member is rejected."""
+        import pytest
+        from semireward_tpu.data.cv_extra import load_medmnist
+
+        self._write_member(tmp_path, "bloodmnist", 8, 1)  # truly 3-channel
+        with pytest.raises(ValueError, match="not a genuine"):
+            load_medmnist(str(tmp_path), "bloodmnist", num_classes=8)
+
+    def test_unknown_member_skips_validation(self, tmp_path):
+        """A non-catalog npz (custom member) still loads, trusting the
+        config — the pre-round-5 behavior, kept for custom datasets."""
+        from semireward_tpu.data.cv_extra import load_medmnist
+
+        self._write_member(tmp_path, "mycustommnist", 5, 1)
+        (x, y), _, _ = load_medmnist(str(tmp_path), "mycustommnist",
+                                     num_classes=5)
+        assert x.shape == (256, 28, 28, 3)
 
 
 class TestFolderAndRegressionDatasets:
