@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 _PROC_T0 = time.perf_counter()  # anchor the time budget at process start
@@ -83,7 +84,8 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int,
 
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                   sr_ema: bool = False, fused=None, flash: bool = False,
-                  use_cat: bool | None = None, split_fwd: bool = False):
+                  use_cat: bool | None = None, split_fwd: bool = False,
+                  short_text: bool = False, buckets: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -99,7 +101,16 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
         import os as _os
 
         root = "/tmp/bench_nlp_data"
-        base = _os.path.join(root, "synthnlp")
+        # --short-text: an ag_news-like length distribution (4 classes,
+        # lognormal word counts, median ~40 / mean ~48 / p99 ~140 tokens,
+        # clipped at 250 — the reference trains ag_news at max_length 512,
+        # config/usb_nlp/*/..._ag_news_*.yaml) instead of the fixed
+        # 40-100-word corpus. This is the arm where the reference's
+        # dynamic per-batch padding (nlp_collactor.py:49-126) pays ~10x
+        # fewer FLOPs than a fixed L512 pad — and where our static length
+        # buckets (data/nlp.py, DEVIATIONS #33) must match that economics.
+        ds_name = "synthnlp_short" if short_text else "synthnlp"
+        base = _os.path.join(root, ds_name)
         if not _os.path.exists(_os.path.join(base, "_complete")):
             # marker written LAST: an interrupted generation regenerates
             # instead of leaving a truncated corpus every later run trusts
@@ -112,7 +123,12 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                 d = {}
                 for i in range(count):
                     y = int(rs.randint(4))
-                    text = " ".join(rs.choice(words, 40 + 20 * y))
+                    if short_text:
+                        n = min(int(8 + rs.lognormal(np.log(32.0), 0.55)),
+                                250)
+                    else:
+                        n = 40 + 20 * y
+                    text = " ".join(rs.choice(words, n))
                     d[str(i)] = {"ori": text, "aug_0": text + " a",
                                  "aug_1": text + " b", "label": y}
                 with open(_os.path.join(base, f"{split}.json"), "w") as f:
@@ -120,7 +136,7 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             open(_os.path.join(base, "_complete"), "w").close()
         cfg = get_config(dict(
             algorithm="srflexmatch", net="bert_base_uncased",
-            dataset="synthnlp", num_classes=4, num_labels=40, batch_size=8,
+            dataset=ds_name, num_classes=4, num_labels=40, batch_size=8,
             uratio=1, eval_batch_size=16, max_length=512, optim="AdamW",
             lr=5e-5, layer_decay=0.65, weight_decay=5e-4, ema_m=0.0, T=0.5,
             p_cutoff=0.95, num_train_iter=102400, num_eval_iter=1 << 30,
@@ -131,6 +147,11 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
             # single-forward variant (loss-equivalent for stat-free nets)
             use_cat=False if use_cat is None else use_cat,
             save_name="bench_nlp", mesh_shape=(-1,)))
+        # Pin the length-bucket policy EXPLICITLY both ways (the trainer
+        # default is now "auto", DEVIATIONS #33): the no-bucket arm keeps
+        # round-4's fixed-L512 comparability, the bucket arm pads each
+        # batch to the smallest static bucket that fits.
+        cfg.extra["length_buckets"] = "auto" if buckets else False
     elif mode == "audio":
         # usb_audio SemiReward geometry (reference config/SemiReward/
         # usb_audio/flexmatch/flexmatch_urbansound8k_100_0.yaml: srflexmatch,
@@ -215,14 +236,25 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     return cfg, Trainer(cfg)
 
 
-def measure_steps(trainer, cfg, n_steps=200, host_fetch=False):
+def measure_steps(trainer, cfg, n_steps=200, host_fetch=False,
+                  seq_lens=None):
+    n_steps = int(os.environ.get("BENCH_N_STEPS", n_steps))
     """``host_fetch=True`` additionally blocks on 4 metric scalars every
     step — the reference's per-step ``log_dict`` ``.item()`` syncs
-    (srflexmatch.py:213-216) — for the ref-equivalent measurement."""
+    (srflexmatch.py:213-216) — for the ref-equivalent measurement.
+    ``seq_lens`` (a list) receives the padded token length of each of the
+    cycled batches — under length buckets (DEVIATIONS #33) batches differ
+    in length, and the FLOPs accounting must use the lengths actually
+    executed, not cfg.max_length."""
 
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
     loader = trainer._make_loader()  # modality-aware (CV / NLP / audio)
     batches = [trainer._put_batch(next(loader)) for _ in range(8)]
+    if seq_lens is not None:
+        for b in batches:
+            v = b.get("x_ulb_w", b.get("x_lb"))
+            if isinstance(v, dict) and "input_ids" in v:
+                seq_lens.append(int(v["input_ids"].shape[-1]))
     state = trainer.state
     for i in range(3):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
@@ -323,6 +355,15 @@ def main():
                    help="run the training step with Pallas flash attention "
                         "(in-kernel padding bias + prob dropout; the "
                         "long-seq BERT/HuBERT A/B arm)")
+    p.add_argument("--short-text", action="store_true",
+                   help="nlp mode: ag_news-like length distribution "
+                        "(mean ~48 tokens, p99 ~140) instead of the fixed "
+                        "40-100-word corpus — the realistic arm for the "
+                        "length-bucket economics (DEVIATIONS #33)")
+    p.add_argument("--buckets", action="store_true",
+                   help="nlp mode: enable static length buckets "
+                        "(64/128/256/512); default pins the single "
+                        "max_length bucket for round-4 comparability")
     args = p.parse_args()
 
     import os
@@ -348,9 +389,12 @@ def main():
     cfg, trainer = build_trainer(args.mode, flat=args.flat,
                                  fused=args.fused, flash=args.flash_attn,
                                  use_cat=args.use_cat,
-                                 split_fwd=args.split_fwd)
+                                 split_fwd=args.split_fwd,
+                                 short_text=args.short_text,
+                                 buckets=args.buckets)
     _progress(t_start, "measuring step rate (compile on first step)")
-    steps_per_sec = measure_steps(trainer, cfg)
+    seq_lens: list = []
+    steps_per_sec = measure_steps(trainer, cfg, seq_lens=seq_lens)
     _progress(t_start, f"step rate done: {steps_per_sec:.1f}/s")
     n_chips = jax.device_count()
     sps_chip = steps_per_sec / n_chips
@@ -379,10 +423,16 @@ def main():
                 trainer.state.params)[0]
             if "embedding" not in jax.tree_util.keystr(p))
 
+        # under length buckets the cycled batches differ in padded length:
+        # average the analytic FLOPs over the lengths actually executed
+        # (round-robin over the batch cycle = equal weights)
+        lens = seq_lens or [cfg.max_length]
+
         def _flops(ib):
-            return vit_step_flops(mm_params, tokens=cfg.max_length,
-                                  images=images, hidden=768, layers=12,
-                                  images_bwd=ib)
+            return float(np.mean([
+                vit_step_flops(mm_params, tokens=L, images=images,
+                               hidden=768, layers=12, images_bwd=ib)
+                for L in lens]))
     elif args.mode == "audio":
         # encoder fwd+bwd at N=199 frames (4.0 s / 16 kHz through the
         # stride-320 conv stack) + the FROZEN conv feature extractor
@@ -425,6 +475,18 @@ def main():
         "use_cat": bool(cfg.use_cat),
         "split_fwd": bool(cfg.extra.get("auto_split_forward", False)),
     }
+    if args.mode == "nlp":
+        extras["length_buckets"] = bool(args.buckets)
+        extras["short_text"] = bool(args.short_text)
+        extras["measured_batch_seq_lens"] = seq_lens
+        if args.buckets and args.short_text:
+            extras["bucket_note"] = (
+                "both arms (measured + ref-equivalent) collate with the "
+                "same static buckets; the reference's true dynamic padding "
+                "(nlp_collactor.py:49-126) would pad both to the batch max "
+                "instead — the quantization is symmetric, so the ratio is "
+                "padding-policy-neutral while the absolute steps/s shows "
+                "the bucket win over fixed-L512")
 
     vs_baseline = None
     if args.mode == "headline":
@@ -482,7 +544,9 @@ def main():
                                              fused=args.fused,
                                              flash=args.flash_attn,
                                              use_cat=args.use_cat,
-                                             split_fwd=args.split_fwd)
+                                             split_fwd=args.split_fwd,
+                                             short_text=args.short_text,
+                                             buckets=args.buckets)
             ref_sps = measure_steps(trainer_r, cfg_r, n_steps=100) / n_chips
             ref_sps_sync = measure_steps(trainer_r, cfg_r, n_steps=50,
                                          host_fetch=True) / n_chips
@@ -546,7 +610,10 @@ def main():
     metric = {
         "headline": "SSL steps/sec/chip (CIFAR-100 ViT-S FlexMatch+SR, stage-2)",
         "large": "SSL steps/sec/chip (classic_cv WRN-28-2 FixMatch, bs64 u7)",
-        "nlp": "SSL steps/sec/chip (usb_nlp BERT-base FlexMatch+SR stage-2, bs8 u1 L512)",
+        "nlp": ("SSL steps/sec/chip (usb_nlp BERT-base FlexMatch+SR "
+                "stage-2, bs8 u1 "
+                + ("ag_news-like buckets" if args.short_text else "L512")
+                + ")"),
         "audio": "SSL steps/sec/chip (usb_audio HuBERT-base FlexMatch+SR stage-2, bs8 u1 4s)",
     }[args.mode]
     print(json.dumps({

@@ -48,6 +48,14 @@ def main():
     p.add_argument("--mode", default="headline",
                    choices=["headline", "large", "nlp", "audio"])
     p.add_argument("--logdir", default="/tmp/srt_trace")
+    # A/B arm flags forwarded to bench.build_trainer so a trace profiles
+    # the SAME program the bench measured (memory rule: arms pin flags
+    # explicitly both ways)
+    p.add_argument("--flash-attn", action="store_true")
+    p.add_argument("--use-cat", action="store_true", default=None)
+    p.add_argument("--split-fwd", action="store_true")
+    p.add_argument("--short-text", action="store_true")
+    p.add_argument("--buckets", action="store_true")
     args = p.parse_args()
     if args.steps < 1:
         p.error("--steps must be >= 1")
@@ -57,7 +65,11 @@ def main():
     import semireward_tpu  # noqa: F401
     from bench import build_trainer
 
-    cfg, trainer = build_trainer(args.mode)
+    cfg, trainer = build_trainer(args.mode, flash=args.flash_attn,
+                                 use_cat=args.use_cat,
+                                 split_fwd=args.split_fwd,
+                                 short_text=args.short_text,
+                                 buckets=args.buckets)
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
     loader = trainer._make_loader()  # modality-aware (CV / NLP / audio)
     batches = [trainer._put_batch(next(loader)) for _ in range(8)]
