@@ -53,14 +53,20 @@ def fabricate_corpus(root: str, n: int, side: int, quality: int = 85):
     return paths
 
 
-def measure_gather(ds, batch, n_batches, seq=False):
+def measure_gather(ds, batch, n_batches, mode="default"):
+    """mode: 'default' (what gather() really does — native JPEG decode
+    when built, else PIL pool), 'pil_pool', or 'pil_seq' (PIL through a
+    1-thread pool — the round-4 single-core baseline)."""
     import semireward_tpu.data.cv_extra as cx
 
     rs = np.random.RandomState(1)
-    if seq:  # force the sequential path through a 1-thread pool
+    old_env = os.environ.get("SRT_DISABLE_NATIVE_JPEG")
+    old_pool = cx._DECODE_POOL
+    if mode in ("pil_pool", "pil_seq"):
+        os.environ["SRT_DISABLE_NATIVE_JPEG"] = "1"
+    if mode == "pil_seq":  # force the sequential path via a 1-thread pool
         from concurrent.futures import ThreadPoolExecutor
 
-        old = cx._DECODE_POOL
         cx._DECODE_POOL = ThreadPoolExecutor(max_workers=1)
     try:
         ds.gather(rs.randint(0, len(ds), batch))  # warm file cache
@@ -69,9 +75,14 @@ def measure_gather(ds, batch, n_batches, seq=False):
             ds.gather(rs.randint(0, len(ds), batch))
         dt = time.perf_counter() - t0
     finally:
-        if seq:
+        if mode == "pil_seq":
             cx._DECODE_POOL.shutdown()
-            cx._DECODE_POOL = old
+            cx._DECODE_POOL = old_pool
+        if mode in ("pil_pool", "pil_seq"):
+            if old_env is None:
+                os.environ.pop("SRT_DISABLE_NATIVE_JPEG", None)
+            else:
+                os.environ["SRT_DISABLE_NATIVE_JPEG"] = old_env
     return batch * n_batches / dt
 
 
@@ -107,14 +118,24 @@ def main():
     print(f"[{time.perf_counter()-t0:5.1f}s] corpus ready: "
           f"{len(paths)} JPEGs ~{args.src_side}px", file=sys.stderr)
 
+    from semireward_tpu.data import _native
+
     ds = JPEGFolderDataset(paths, np.zeros(len(paths), np.int64),
                            img_size=args.img_size)
-    seq_ips = measure_gather(ds, args.batch, args.n_batches, seq=True)
-    print(f"[{time.perf_counter()-t0:5.1f}s] sequential decode: "
+    seq_ips = measure_gather(ds, args.batch, args.n_batches, mode="pil_seq")
+    print(f"[{time.perf_counter()-t0:5.1f}s] PIL sequential decode: "
           f"{seq_ips:.1f} img/s", file=sys.stderr)
-    pool_ips = measure_gather(ds, args.batch, args.n_batches, seq=False)
-    print(f"[{time.perf_counter()-t0:5.1f}s] pooled decode:     "
+    pool_ips = measure_gather(ds, args.batch, args.n_batches,
+                              mode="pil_pool")
+    print(f"[{time.perf_counter()-t0:5.1f}s] PIL pooled decode:     "
           f"{pool_ips:.1f} img/s", file=sys.stderr)
+    native_ips = None
+    if _native.jpeg_available():
+        native_ips = measure_gather(ds, args.batch, args.n_batches,
+                                    mode="default")
+        print(f"[{time.perf_counter()-t0:5.1f}s] native decode:         "
+              f"{native_ips:.1f} img/s", file=sys.stderr)
+    best_ips = native_ips if native_ips else pool_ips
 
     # end-to-end loader batches/s: lb stream (in-RAM) + ulb stream (JPEG)
     lb = ArrayDataset(np.zeros((64, args.img_size, args.img_size, 3),
@@ -143,6 +164,8 @@ def main():
         "host_cpus": os.cpu_count(),
         "decode_seq_images_per_sec": round(seq_ips, 1),
         "decode_pool_images_per_sec": round(pool_ips, 1),
+        "decode_native_images_per_sec": (
+            round(native_ips, 1) if native_ips else None),
         "loader_batches_per_sec": round(base_bps, 2),
         "loader_prefetch_batches_per_sec": round(pf_bps, 2),
         "loader_images_per_sec": round(base_bps * 48, 1),
@@ -196,12 +219,16 @@ def main():
     if sps:
         demand = sps * args.batch
         out["chip_demand_images_per_sec"] = round(demand, 1)
-        out["loader_headroom_this_host"] = round(pool_ips / demand, 2)
+        # headroom uses what gather() REALLY does (native decode when
+        # built — the r5 fix for LOADER_r04's 0.67), PIL pool otherwise
+        out["loader_headroom_this_host"] = round(best_ips / demand, 2)
+        out["loader_headroom_pil_only"] = round(pool_ips / demand, 2)
         # single-core hosts: project an 8-worker pool at linear scaling of
-        # the measured per-core decode rate (PIL releases the GIL; the
-        # pool engages automatically on multi-core hosts)
+        # the measured per-core decode rate (both decoders thread across
+        # images; the pool engages automatically on multi-core hosts)
+        per_core = (native_ips or seq_ips)
         out["loader_headroom_8core_est"] = (
-            round(seq_ips * 8 / demand, 2)
+            round(per_core * 8 / demand, 2)
             if (os.cpu_count() or 1) == 1 else None)
     print(json.dumps(out))
 

@@ -26,6 +26,13 @@ def _load():
         lib.crop_pad_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+        try:
+            lib.has_jpeg.restype = ctypes.c_int
+            lib.decode_jpeg_files.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+        except AttributeError:
+            pass  # pre-round-5 .so without the decode entry points
         _LIB = lib
     return _LIB
 
@@ -46,6 +53,33 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
     lib.gather_rows(src.ctypes.data, idx.ctypes.data, len(idx), row_bytes,
                     dst.ctypes.data, n_threads)
     return dst
+
+
+def jpeg_available() -> bool:
+    """True when the .so was built with libjpeg (decode_jpeg_files live)."""
+    lib = _load()
+    return bool(lib is not None and hasattr(lib, "has_jpeg")
+                and lib.has_jpeg())
+
+
+def decode_jpeg_files(paths, target: int,
+                      n_threads: int = 4) -> "tuple[np.ndarray, np.ndarray]":
+    """Batched JPEG read+decode+resize to (target, target, 3) u8 via
+    libjpeg-turbo scale-on-decode (fastbatch.cpp). Returns (batch, status);
+    status[i] != 0 marks a failed decode the caller must redo (PIL path).
+    Raises RuntimeError when the library lacks JPEG support — gate on
+    ``jpeg_available()``."""
+    lib = _load()
+    if lib is None or not jpeg_available():
+        raise RuntimeError("libfastbatch.so built without libjpeg")
+    n = len(paths)
+    enc = [os.fspath(p).encode() for p in paths]
+    ptrs = (ctypes.c_char_p * n)(*enc)
+    dst = np.empty((n, target, target, 3), np.uint8)
+    status = np.zeros(n, np.int32)
+    lib.decode_jpeg_files(ptrs, n, target, dst.ctypes.data, n_threads,
+                          status.ctypes.data)
+    return dst, status
 
 
 def crop_pad_f32(waves, starts, T: int, n_threads: int = 4) -> np.ndarray:

@@ -8,11 +8,29 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _have_libjpeg() -> bool:
+    """Probe-compile a one-liner against jpeglib.h + -ljpeg."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        probe = os.path.join(td, "probe.cpp")
+        with open(probe, "w") as f:
+            f.write("#include <cstdio>\n#include <jpeglib.h>\n"
+                    "int main(){jpeg_decompress_struct c;(void)c;return 0;}")
+        r = subprocess.run(
+            ["g++", "-o", os.path.join(td, "probe"), probe, "-ljpeg"],
+            capture_output=True)
+        return r.returncode == 0
+
+
 def build(verbose: bool = True) -> str:
     src = os.path.join(HERE, "fastbatch.cpp")
     out = os.path.join(HERE, "libfastbatch.so")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
            "-o", out, src]
+    if _have_libjpeg():
+        cmd[1:1] = ["-DHAVE_LIBJPEG"]
+        cmd.append("-ljpeg")
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

@@ -244,9 +244,17 @@ def _decode_pool():
 class JPEGFolderDataset:
     """Lazy-decode image-folder dataset (semi_aves / food101 / imagenet
     layouts). Decoding happens per batch at gather() time — the loader-side
-    analogue of the reference's PIL-in-worker decode; resize to img_size
-    happens here so device buffers stay fixed-shape. Decode is fanned out
-    over a shared thread pool (PIL releases the GIL)."""
+    analogue of the reference's PIL-in-worker decode (imagenet.py:46-169);
+    resize to img_size happens here so device buffers stay fixed-shape.
+
+    Fast path: the native batch decoder (data/_native/fastbatch.cpp,
+    libjpeg-turbo scale-on-decode + fused bilinear — ~2x the PIL decode
+    rate on one core, the ViT-B-224 bottleneck fix for LOADER_r04's 0.67
+    headroom). Any image the native path rejects (non-JPEG, e.g. PNGs in
+    semi_aves, or a corrupt file) is re-decoded via PIL. Set
+    ``SRT_DISABLE_NATIVE_JPEG=1`` to force the PIL path (A/B, exactness).
+    Native-vs-PIL pixel deltas come from DCT-domain scaling and are small
+    (mean |diff| ~1.7/255, tests/test_modalities.py::TestNativeJPEG)."""
 
     def __init__(self, paths, targets, img_size: int = 224):
         self.paths = paths
@@ -269,6 +277,16 @@ class JPEGFolderDataset:
         out[j] = np.asarray(im)
 
     def gather(self, idx):
+        from semireward_tpu.data import _native
+
+        if (_native.jpeg_available()
+                and not os.environ.get("SRT_DISABLE_NATIVE_JPEG")):
+            paths = [self.paths[int(i)] for i in idx]
+            out, status = _native.decode_jpeg_files(
+                paths, self.img_size, n_threads=min(8, os.cpu_count() or 1))
+            for j in np.nonzero(status)[0]:  # non-JPEG/corrupt: PIL redo
+                self._decode_one(paths[int(j)], out, int(j))
+            return out
         out = np.empty((len(idx), self.img_size, self.img_size, 3), np.uint8)
         pool = _decode_pool() if len(idx) > 2 else None
         if pool is None:

@@ -284,6 +284,96 @@ class TestMedMNIST:
         assert x.shape == (256, 28, 28, 3)
 
 
+class TestNativeJPEG:
+    """Native batched JPEG decode (fastbatch.cpp decode_jpeg_files:
+    libjpeg-turbo scale-on-decode + fused bilinear) vs the PIL path."""
+
+    @staticmethod
+    def _write_jpegs(tmp_path, n=6, side=300):
+        import numpy as np
+        from PIL import Image
+
+        rs = np.random.RandomState(0)
+        paths = []
+        for i in range(n):
+            x = rs.randint(0, 255, (25, 25, 3), np.uint8)
+            im = Image.fromarray(x).resize((side, side), Image.BILINEAR)
+            p = tmp_path / f"{i}.jpg"
+            im.save(p, quality=90)
+            paths.append(str(p))
+        return paths
+
+    def test_close_to_pil_and_status_clean(self, tmp_path):
+        import numpy as np
+        import pytest
+        from PIL import Image
+        from semireward_tpu.data import _native
+
+        if not _native.jpeg_available():
+            pytest.skip("libfastbatch.so built without libjpeg")
+        paths = self._write_jpegs(tmp_path)
+        out, status = _native.decode_jpeg_files(paths, 224)
+        assert status.sum() == 0 and out.shape == (6, 224, 224, 3)
+        ref = np.stack([
+            np.asarray(Image.open(p).convert("RGB").resize(
+                (224, 224), Image.BILINEAR)) for p in paths])
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        # DCT-scale decode + fixed-point bilinear vs full decode + PIL
+        # triangle filter: small, bounded deltas
+        assert diff.mean() < 4.0 and np.percentile(diff, 99) <= 16
+
+    def test_upscale_and_odd_sizes(self, tmp_path):
+        import numpy as np
+        import pytest
+        from PIL import Image
+        from semireward_tpu.data import _native
+
+        if not _native.jpeg_available():
+            pytest.skip("libfastbatch.so built without libjpeg")
+        rs = np.random.RandomState(1)
+        p = tmp_path / "small.jpg"
+        Image.fromarray(rs.randint(0, 255, (37, 61, 3), np.uint8)).save(
+            p, quality=95)
+        out, status = _native.decode_jpeg_files([str(p)], 96)
+        assert status[0] == 0 and out.shape == (1, 96, 96, 3)
+        assert out.std() > 1  # actually decoded, not zeros
+
+    def test_gather_falls_back_for_non_jpeg(self, tmp_path):
+        """A PNG in the folder (semi_aves has some) decodes via the PIL
+        redo path inside gather(), same batch, right slot."""
+        import numpy as np
+        import pytest
+        from PIL import Image
+        from semireward_tpu.data import _native
+        from semireward_tpu.data.cv_extra import JPEGFolderDataset
+
+        if not _native.jpeg_available():
+            pytest.skip("libfastbatch.so built without libjpeg")
+        paths = self._write_jpegs(tmp_path, n=3)
+        png = tmp_path / "x.png"
+        arr = np.full((40, 40, 3), 200, np.uint8)
+        Image.fromarray(arr).save(png)
+        paths.insert(1, str(png))
+        ds = JPEGFolderDataset(paths, np.zeros(4), img_size=64)
+        out = ds.gather(np.arange(4))
+        assert out.shape == (4, 64, 64, 3)
+        assert abs(int(out[1].mean()) - 200) <= 2  # the PNG slot
+
+    def test_disable_env_pins_pil_path(self, tmp_path, monkeypatch):
+        import numpy as np
+        from semireward_tpu.data.cv_extra import JPEGFolderDataset
+
+        paths = self._write_jpegs(tmp_path, n=3)
+        ds = JPEGFolderDataset(paths, np.zeros(3), img_size=64)
+        monkeypatch.setenv("SRT_DISABLE_NATIVE_JPEG", "1")
+        a = ds.gather(np.arange(3))
+        monkeypatch.delenv("SRT_DISABLE_NATIVE_JPEG")
+        b = ds.gather(np.arange(3))
+        # both paths produce valid frames of the same content
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 4.0
+
+
 class TestFolderAndRegressionDatasets:
     def _fake_imagenet(self, root, n_train=12, n_val=4, C=4, size=40):
         import numpy as np, os
