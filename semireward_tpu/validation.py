@@ -113,6 +113,7 @@ def make_noisy_flexmatch(noise_frac: float, classes=None, shift: int = 1):
     (class-conditional noise — the filter the Rewarder architecture CAN
     express; see rewarder_class_probe). The SR wrapper composes over it
     unchanged, scoring the corrupted labels like any pseudo-label."""
+    import jax
     import jax.numpy as jnp
     from semireward_tpu.algorithms.flexmatch import FlexMatch
     from semireward_tpu.algorithms.semireward import (SemiRewardWrapper,
@@ -136,6 +137,45 @@ def make_noisy_flexmatch(noise_frac: float, classes=None, shift: int = 1):
         NAME = "srflexmatch"
         BASE_CLS = NoisyFlexMatch
         DEFAULTS = {**FlexMatch.DEFAULTS, **SR_DEFAULTS}
+
+        def loss(self, ctx):
+            out = super().loss(ctx)
+            # Diagnostic keep-rate SPLIT: polluted = samples whose
+            # pseudo-label the noise touched (original argmax in
+            # ``classes``, or the leading ``noise_frac`` for uniform
+            # noise). Recomputes the wrapper's reward/mask2 rule
+            # (semireward.py with_reward — a tiny MLP forward, diagnostic
+            # -only cost) so the long-horizon artifact can plot
+            # keep-on-polluted vs keep-on-clean across the stage-1/2
+            # boundary (VERDICT r5 ask #5).
+            fwd = out.fwd
+            orig = jnp.argmax(fwd.logits_x_ulb_w, axis=-1)
+            if classes is not None:
+                bad = jnp.isin(orig, jnp.asarray(list(classes)))
+            else:
+                n_bad = int(round(orig.shape[0] * noise_frac))
+                bad = jnp.arange(orig.shape[0]) < n_bad
+            bad = bad.astype(jnp.float32)
+            pl = out.pseudo_label
+            pl_int = (pl if pl.dtype in (jnp.int32, jnp.int64)
+                      else jnp.argmax(pl, axis=-1)).astype(jnp.int32)
+            reward = self.rewarder.apply(
+                {"params": jax.lax.stop_gradient(
+                    ctx.sr_state.rewarder_params)},
+                jax.lax.stop_gradient(fwd.feats_x_ulb_w), pl_int)
+            mask2 = (reward >= reward.mean()).squeeze(-1)
+            keep = jnp.where(ctx.step > self.cfg.start_timing,
+                             mask2.astype(jnp.float32),
+                             jnp.ones_like(bad))
+            pol_n = bad.sum()
+            cln_n = (1.0 - bad).sum()
+            metrics = dict(out.metrics)
+            metrics.update(
+                sr_keep_polluted=(keep * bad).sum() / jnp.maximum(pol_n, 1),
+                sr_keep_clean=((keep * (1 - bad)).sum()
+                               / jnp.maximum(cln_n, 1)),
+                sr_polluted_n=pol_n)
+            return out._replace(metrics=metrics)
 
     return NoisyFlexMatch, SRNoisyFlexMatch
 
