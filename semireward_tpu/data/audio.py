@@ -6,16 +6,18 @@ datasetbase.py} and collactors/audio_collactor.py:
 - weak view = random subsample crop to ``max_length_seconds`` (reference
   datasetbase.py:177-230)
 - strong view = the reference's sox chain (gain / pitch / speed / reverb,
-  datasetbase.py:231-301) re-expressed as vectorized jnp ops: gain is exact;
-  speed/pitch are windowed-sinc resampling (sox's resampler class; its
-  Kaiser window is longer — documented approximation); reverb is the
-  Freeverb comb/allpass structure sox's reverb implements, wet-only
-  (DEVIATIONS.md #18).
+  datasetbase.py:12-39) re-expressed as vectorized jnp ops: gain is exact;
+  speed/pitch are 32-tap Kaiser-windowed-sinc resampling (sox's resampler
+  class; sox's filter is longer still — documented residual); reverb is
+  sox reverb.c's exact Freeverb structure — combs WITH the HF-damping
+  one-pole, sox's reverberance->feedback mapping, Jezar's non-unit
+  allpass — solved exactly in the frequency domain (DEVIATIONS.md #18).
 - collator pads/crops to the static ``max_length_seconds * sample_rate``
   bucket so jit sees one shape.
 """
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from dataclasses import dataclass
@@ -87,18 +89,22 @@ def _resample_linear(x, rate):
     return jnp.where(pos < T - 1, y, 0.0)
 
 
-_SINC_TAPS = 16
+_SINC_TAPS = 32
+_KAISER_BETA = 10.0  # ~ -100 dB sidelobes (Kaiser formula: A ~= 100 dB)
 
 
 def _resample_sinc(x, rate):
-    """Windowed-sinc resample of [T] by `rate` (same length out, zero
-    tail) — the quality class of sox's `rate`/`speed` resampler (sox uses
-    a longer Kaiser-windowed sinc; this is a 16-tap Hann-windowed one,
+    """Kaiser-windowed-sinc resample of [T] by `rate` (same length out,
+    zero tail) — sox's `rate`/`speed` resampler class (rate.c: Kaiser-
+    windowed polyphase; sox's filter is still longer, but at 32 taps /
+    beta=10 the stopband is ~-100 dB vs the former 16-tap Hann's ~-44 dB,
     DEVIATIONS.md #18). The kernel cutoff drops to 1/rate when rate>1
     (reading faster = decimation), which is the anti-alias lowpass a
     linear interpolator lacks. Fully vectorized: one [K,T] gather + a
     weighted reduce — no data-dependent control flow, jit/vmap-safe,
-    `rate` may be a traced scalar."""
+    `rate` may be a traced scalar. Widening 16->32 taps is near-free on
+    TPU: the banded gather is row-count bound (~9 ns/row regardless of
+    width, NOTES_DEV), and taps only widen the rows."""
     T = x.shape[0]
     K = _SINC_TAPS
     half = K // 2
@@ -109,8 +115,8 @@ def _resample_sinc(x, rate):
     # of G=16 outputs — a 2-D row gather from a window matrix of static
     # shifted slices — cuts the row count 16x. The window weights are
     # evaluated directly at (source_index - pos): taps outside the true
-    # +-half band get an EXACTLY zero Hann factor (cos(pi)=-1 at the
-    # clip), so the banded form is the same filter, not an approximation.
+    # +-half band are masked to EXACTLY zero, so the banded form is the
+    # same filter as the per-output form, not an approximation.
     G = 16
     SPAN = 2 * G + K
     nb = -(-T // G)                                          # ceil: cover a
@@ -127,7 +133,19 @@ def _resample_sinc(x, rate):
     off = ((s0[:, None].astype(jnp.float32) + j[None, :])[:, None, :]
            - posb[:, :, None])                               # [nb, G, SPAN]
     cut = jnp.minimum(1.0, 1.0 / rate)
-    win = 0.5 + 0.5 * jnp.cos(jnp.pi * jnp.clip(off / half, -1.0, 1.0))
+    # Kaiser window, masked to EXACTLY zero outside +-half so the banded
+    # form (taps evaluated at window positions beyond the true support)
+    # is the same filter as the per-output form, not an approximation
+    # (the former Hann got the zero for free from its cos clip)
+    from jax.scipy.special import i0e
+
+    u = jnp.clip(off / half, -1.0, 1.0)
+    arg = _KAISER_BETA * jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
+    # I0(a)/I0(beta) computed via the exp-scaled i0e for overflow safety
+    win = jnp.where(jnp.abs(off) < half,
+                    i0e(arg) * jnp.exp(arg - _KAISER_BETA)
+                    / i0e(jnp.float32(_KAISER_BETA)),
+                    0.0)
     w = cut * jnp.sinc(cut * off) * win
     # renormalize so DC gain is exactly 1 at every fractional phase (the
     # truncated window otherwise ripples by ~1e-3)
@@ -151,9 +169,10 @@ def strong_augment_wave(rng, batch):
     duration; the <=0.12% duration error sits in the zero-padded buffer);
     speed is a single resample (the trailing `rate` restores the sample
     rate, leaving the 1/speed duration change, zero-padded/truncated to
-    the fixed buffer); reverb -w (wet-only) is the Freeverb comb/allpass
-    bank sox's reverb implements, FIR-expanded (no HF damping in the
-    feedback — documented approximation, DEVIATIONS.md #18)."""
+    the fixed buffer); reverb -w (wet-only) is sox's exact Freeverb
+    comb/allpass bank incl. the HF-damping one-pole and sox's
+    reverberance->feedback mapping, solved exactly in the frequency
+    domain (_sox_reverb_wet)."""
     B, T = batch.shape
     keys = jax.random.split(rng, 5)
     speed = jax.random.uniform(keys[0], (B,), minval=0.5, maxval=2.0)
@@ -210,63 +229,92 @@ def _sox_speed(x, sp, pc, att):
     return _resample_sinc(x, sp)
 
 
-# Freeverb constants (Jezar's public-domain reverberator — the filter
-# structure sox's `reverb` implements, reverb.c): 8 parallel feedback
-# combs + 4 series allpasses, delays quoted at 44.1 kHz and scaled to
-# the pipeline's sample rate. Feedback 0.84 = the freeverb default room
-# size (sox maps reverberance 50% to approximately this); allpass g=0.5;
-# 0.015 input gain. Mono (stereo-depth immaterial), wet-only.
+# sox `reverb` (reverb.c — the Freeverb structure with sox's own
+# parameter mappings): 8 parallel feedback combs, each with a one-pole
+# HF-damping lowpass INSIDE the feedback loop, then 4 series Freeverb
+# "allpasses" (Jezar's famous non-unit-magnitude form: y = 1.5*b[t-d] -
+# x with b = x + 0.5*b[t-d]). Delays quoted at 44.1 kHz, scaled by
+# sample rate and room-scale. The reference applies bare `reverb -w`
+# (datasetbase.py:30): every parameter at its sox default —
+# reverberance 50%, HF-damping 50%, room-scale 100%, wet-gain 0 dB,
+# wet-only output. sox's mappings (reverb.c):
+#   a = -1/ln(1-0.3); b = 100/(ln(1-0.98)*a + 1)
+#   feedback = 1 - exp((reverberance - b)/(a*b))     (= 0.8818 at 50%)
+#   damping  = hf_damping/100 * 0.3 + 0.2            (= 0.35  at 50%)
+#   scale    = room_scale/100 * 0.9 + 0.1; gain = 0.015 * 10^(wet_dB/20)
 _SR = 16000
 _COMB_DELAYS_44K = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
-_ALLPASS_DELAYS_44K = (556, 441, 341, 225)
-_COMB_FEEDBACK = 0.84
-_ALLPASS_G = 0.5
+_ALLPASS_DELAYS_44K = (225, 341, 441, 556)
 
 
-def _comb_sum(x, coef, d):
-    """Exact first-order delayed IIR: y[t] = x[t-d] + coef*y[t-d], i.e.
-    y[t] = sum_{k>=1} coef^(k-1) x[t-kd] — the Freeverb comb response
-    (and the allpass diffusion sum). Evaluated the TPU way: frame the
-    delayed signal into [M, d] rows (rows are exactly one delay apart,
-    so the recurrence couples whole rows), then solve the length-M
-    linear recurrence with lax.associative_scan — ~2*log2(M) fused
-    vector passes instead of a ~40-step sequential lax.scan of shifted
-    copies. No truncation: this is the infinite IIR sox/Freeverb
-    actually run, not a -60 dB FIR cap."""
-    T = x.shape[0]
-    z = jnp.pad(x, (d, 0))                       # z[t] = x[t-d]
-    M = -(-(T + d) // d)
-    Z = jnp.pad(z, (0, M * d - (T + d))).reshape(M, d)
-    A = jnp.full((M, 1), jnp.asarray(coef, x.dtype))
+def _sox_reverb_constants(reverberance=50.0, hf_damping=50.0,
+                          room_scale=100.0, wet_gain_db=0.0):
+    import math
 
-    def combine(left, right):
-        al, bl = left
-        ar, br = right
-        return al * ar, br + ar * bl
+    a = -1.0 / math.log(1.0 - 0.3)
+    b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)
+    feedback = 1.0 - math.exp((reverberance - b) / (a * b))
+    damping = hf_damping / 100.0 * 0.3 + 0.2
+    scale = room_scale / 100.0 * 0.9 + 0.1
+    gain = 0.015 * 10.0 ** (wet_gain_db / 20.0)
+    return feedback, damping, scale, gain
 
-    _, Y = jax.lax.associative_scan(combine, (A, Z), axis=0)
-    return Y.reshape(-1)[:T]
+
+@functools.lru_cache(maxsize=8)
+def _reverb_ir_rfft(T: int, sr: int = _SR):
+    """(rfft of the length-T wet impulse response, fft length L).
+
+    The reverb is LTI with FIXED coefficients (no per-sample draws), so
+    the exact output is one linear convolution: y = (x * h)[:T], which
+    needs only h[:T] — computed ONCE per buffer length on the host with
+    scipy.lfilter from the exact sox difference equations (comb:
+    y[n] = x[n-d] + f*s[n-d], s[n] = damp*s[n-1] + (1-damp)*y[n] i.e.
+    H = z^-d (1-damp z^-1) / (1 - damp z^-1 - f(1-damp) z^-d); allpass:
+    H = (1.5 z^-d - 1)/(1 - 0.5 z^-d)) — and embedded as an rfft
+    constant. L >= 2T-1 makes the circular convolution exactly linear
+    for the first T outputs."""
+    from scipy.signal import lfilter
+
+    f, damp, scale, gain = _sox_reverb_constants()
+    imp = np.zeros(T, np.float64)
+    imp[0] = 1.0
+    h = np.zeros(T, np.float64)
+    for d44 in _COMB_DELAYS_44K:
+        d = max(1, int(d44 * scale * sr / 44100.0 + 0.5))
+        num = np.zeros(d + 2)
+        num[d] = 1.0
+        num[d + 1] = -damp
+        den = np.zeros(d + 1)
+        den[0] = 1.0
+        den[1] = -damp
+        den[d] += -f * (1.0 - damp)
+        h += lfilter(num, den, imp)
+    for d44 in _ALLPASS_DELAYS_44K:
+        d = max(1, int(d44 * scale * sr / 44100.0 + 0.5))
+        num = np.zeros(d + 1)
+        num[0] = -1.0
+        num[d] = 1.5
+        den = np.zeros(d + 1)
+        den[0] = 1.0
+        den[d] = -0.5
+        h = lfilter(num, den, h)
+    h *= gain
+    L = 1 << max(1, (2 * T - 1)).bit_length()
+    return np.fft.rfft(h, L).astype(np.complex64), L
 
 
 def _sox_reverb_wet(x, sp, pc, att):
-    """`reverb -w` (wet-only): Freeverb structure — 8 parallel feedback
-    combs + 4 series allpass diffusers, no dry term, each solved exactly
-    via the blocked recurrence in _comb_sum (jit/vmap-friendly, no
-    time-sequential recursion). Remaining deviations from sox: no HF
-    damping in the comb feedback, and sox's exact reverberance ->
-    feedback mapping is approximated by the freeverb default
-    (DEVIATIONS.md #18)."""
-    xin = 0.015 * x  # freeverb fixed input gain
-    out = jnp.zeros_like(x)
-    for d44 in _COMB_DELAYS_44K:
-        d = max(1, round(d44 * _SR / 44100))
-        out = out + _comb_sum(xin, _COMB_FEEDBACK, d)
-    # series allpass: y = -g x + (1-g^2) sum_k g^(k-1) x[t-kd]
-    g = _ALLPASS_G
-    for d44 in _ALLPASS_DELAYS_44K:
-        d = max(1, round(d44 * _SR / 44100))
-        out = -g * out + (1.0 - g * g) * _comb_sum(out, g, d)
-    return out
+    """`reverb -w` (wet-only): exact sox reverb via one rfft/irfft pair
+    against the precomputed impulse-response spectrum (_reverb_ir_rfft).
+    Closes DEVIATIONS #18's comb-damping + reverberance-mapping + allpass
+    -form residuals: the difference equations and parameter mappings are
+    sox reverb.c's own; output is exact to f32 rounding (the r4
+    associative_scan combs could not express the damping one-pole inside
+    the feedback loop — a frequency-domain solve can)."""
+    T = x.shape[0]
+    Hf, L = _reverb_ir_rfft(T)
+    y = jnp.fft.irfft(jnp.fft.rfft(x, n=L) * jnp.asarray(Hf), n=L)
+    return y[:T].astype(x.dtype)
 
 
 def weak_augment_wave(rng, batch, orig_lens=None):

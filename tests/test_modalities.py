@@ -547,10 +547,11 @@ class TestSoxEffectKernels:
         from semireward_tpu.data.audio import _sox_reverb_wet
         x = jnp.zeros(3200, jnp.float32).at[0].set(1.0)  # impulse
         y = _sox_reverb_wet(x, 1.0, 0.0, 0.0)
-        assert float(y[0]) == 0.0          # wet-only: dry impulse gone
-        # first reflection = shortest comb delay (1116 @44.1k -> 405 @16k)
-        assert float(jnp.abs(y[:405]).max()) == 0.0
-        assert float(jnp.abs(y[405])) > 0.0
+        # wet-only: no dry impulse; the first comb echo (1116 @44.1k ->
+        # 405 @16k) is preceded only by f32-FFT rounding noise (~1e-8)
+        assert float(jnp.abs(y[0])) < 1e-6
+        assert float(jnp.abs(y[:405]).max()) < 1e-6
+        assert float(jnp.abs(y[405])) > 1e-3
 
     def test_reverb_wet_is_dense_decaying_freeverb_tail(self):
         """sox's reverb is Freeverb: 8 parallel feedback combs + 4 series
@@ -600,17 +601,19 @@ class TestSoxEffectKernels:
         """The TPU-optimized banded form of _resample_sinc (G=16 output
         blocks sharing one contiguous source window, weights evaluated
         at source_index - pos) must be the SAME filter as the textbook
-        per-output 16-tap windowed sinc — taps outside +-half carry an
-        exactly-zero Hann factor, so banding may not change the math.
-        Checked against a NumPy per-output evaluation across rates and
+        per-output Kaiser-windowed sinc — taps outside +-half are masked
+        to exactly zero, so banding may not change the math. Checked
+        against a NumPy per-output evaluation across rates and
         non-multiple-of-16 lengths."""
-        from semireward_tpu.data.audio import _SINC_TAPS, _resample_sinc
+        from semireward_tpu.data.audio import (_KAISER_BETA, _SINC_TAPS,
+                                               _resample_sinc)
 
         def per_output(x, rate):
             T = len(x)
             half = _SINC_TAPS // 2
             y = np.zeros(T, np.float64)
             cut = min(1.0, 1.0 / rate)
+            i0b = np.i0(_KAISER_BETA)
             for t in range(T):
                 pos = t * rate
                 if pos >= T - 1:
@@ -619,8 +622,11 @@ class TestSoxEffectKernels:
                 acc = den = 0.0
                 for k in range(-half + 1, half + 1):
                     off = (lo + k) - pos
-                    win = 0.5 + 0.5 * np.cos(
-                        np.pi * np.clip(off / half, -1.0, 1.0))
+                    if abs(off) < half:
+                        u = off / half
+                        win = np.i0(_KAISER_BETA * np.sqrt(1 - u * u)) / i0b
+                    else:
+                        win = 0.0
                     w = cut * np.sinc(cut * off) * win
                     den += w
                     src = lo + k
@@ -639,22 +645,80 @@ class TestSoxEffectKernels:
                 np.testing.assert_allclose(got, want, atol=1e-4,
                                            err_msg=f"T={T} rate={r}")
 
-    def test_reverb_blocked_iir_matches_direct_recurrence(self, rs):
-        """_comb_sum's frame-blocked associative_scan must equal the
-        direct per-sample IIR y[t] = x[t-d] + coef*y[t-d] (no
-        truncation)."""
-        from semireward_tpu.data.audio import _comb_sum
-        T = 3000
+    def test_reverb_matches_sox_direct_simulation(self, rs):
+        """The frequency-domain reverb must equal an INDEPENDENT direct
+        simulation of sox reverb.c's sample loop: per comb a circular
+        delay buffer with the one-pole HF-damping store inside the
+        feedback (output = buf[i]; store = output + (store-output)*damp;
+        buf[i] = input + store*feedback), then the 4 series Jezar
+        allpasses (output = buf[i] - input; buf[i] = input + buf[i]*0.5),
+        all at sox's default parameter mappings."""
+        from semireward_tpu.data.audio import (_ALLPASS_DELAYS_44K,
+                                               _COMB_DELAYS_44K,
+                                               _sox_reverb_constants,
+                                               _sox_reverb_wet)
+
+        f, damp, scale, gain = _sox_reverb_constants()
+        # sox reverb.c mapping facts at the defaults the reference uses
+        np.testing.assert_allclose(f, 0.8817, atol=1e-3)
+        np.testing.assert_allclose(damp, 0.35, atol=1e-12)
+        T = 2400
         x = rs.randn(T).astype(np.float32)
-        for coef, d in ((0.84, 405), (0.5, 128), (0.84, 7), (0.3, 587)):
-            want = np.zeros(T, np.float64)
+
+        def comb(xin, d):
+            buf = np.zeros(d)
+            store = 0.0
+            out = np.zeros(T)
+            i = 0
             for t in range(T):
-                prev = want[t - d] if t >= d else 0.0
-                xd = x[t - d] if t >= d else 0.0
-                want[t] = xd + coef * prev
-            got = np.asarray(_comb_sum(jnp.asarray(x), coef, d))
-            np.testing.assert_allclose(got, want, atol=1e-4,
-                                       err_msg=f"coef={coef} d={d}")
+                out[t] = buf[i]
+                store = out[t] + (store - out[t]) * damp
+                buf[i] = xin[t] + store * f
+                i = (i + 1) % d
+            return out
+
+        def allpass(xin, d):
+            buf = np.zeros(d)
+            out = np.zeros(T)
+            i = 0
+            for t in range(T):
+                b = buf[i]
+                out[t] = b - xin[t]
+                buf[i] = xin[t] + b * 0.5
+                i = (i + 1) % d
+            return out
+
+        want = np.zeros(T)
+        for d44 in _COMB_DELAYS_44K:
+            want += comb(x.astype(np.float64),
+                         int(d44 * scale * 16000 / 44100 + 0.5))
+        for d44 in _ALLPASS_DELAYS_44K:
+            want = allpass(want, int(d44 * scale * 16000 / 44100 + 0.5))
+        want *= gain
+        got = np.asarray(_sox_reverb_wet(jnp.asarray(x), 1.0, 0.0, 0.0))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_reverb_damping_shortens_hf_ring(self):
+        """The HF-damping one-pole must make high frequencies decay
+        faster than low ones in the reverb tail (the residual the r4
+        scan-based combs could not express)."""
+        from semireward_tpu.data.audio import _sox_reverb_wet
+        T = 12800
+        t = np.arange(T)
+        lo = np.sin(2 * np.pi * 200 / 16000 * t).astype(np.float32)
+        hi = np.sin(2 * np.pi * 6000 / 16000 * t).astype(np.float32)
+        lo[T // 4:] = 0.0  # burst, then ring-out
+        hi[T // 4:] = 0.0
+        ylo = np.asarray(_sox_reverb_wet(jnp.asarray(lo), 1.0, 0.0, 0.0))
+        yhi = np.asarray(_sox_reverb_wet(jnp.asarray(hi), 1.0, 0.0, 0.0))
+
+        def ring_ratio(y):
+            early = float((y[T // 4:T // 2] ** 2).mean())
+            late = float((y[3 * T // 4:] ** 2).mean())
+            return late / max(early, 1e-20)
+
+        assert ring_ratio(yhi) < ring_ratio(ylo) * 0.5, \
+            (ring_ratio(yhi), ring_ratio(ylo))
 
     def test_choose_two_effects_with_replacement(self, rs):
         """The reference applies random.choices(k=2) of the 4 effects —
