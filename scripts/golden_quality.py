@@ -44,6 +44,13 @@ def main():
                    help="data/init seed; a non-zero seed writes "
                         "QUALITY_r<round>_seed<seed>.json (robustness check) "
                         "and leaves docs/quality.md untouched")
+    p.add_argument("--tier", default="base", choices=["base", "hard"],
+                   help="golden tier (validation.golden_config): 'hard' "
+                        "runs the un-saturated 8-class/160-degree orbit "
+                        "(VERDICT r5 ask #6) and writes "
+                        "QUALITY_r<round>_hard[_seedN].json; family sweep "
+                        "only (the SR-noise/imb sections stay on the base "
+                        "tier they were calibrated on)")
     args = p.parse_args()
 
     # persistent XLA compile cache (same dir bench.py uses): re-sweeps with
@@ -61,7 +68,8 @@ def main():
     from semireward_tpu.validation import (imb_gain, run_golden,
                                            sr_noise_experiment)
 
-    suffix = f"_seed{args.seed}" if args.seed else ""
+    suffix = ("_hard" if args.tier == "hard" else "") + (
+        f"_seed{args.seed}" if args.seed else "")
     out_path = f"QUALITY_r{args.round:02d}{suffix}.json"
     if args.only_extra:
         with open(out_path) as f:
@@ -75,16 +83,16 @@ def main():
             _write_md(report, args.round)
         return
 
-    report = {"iters": args.iters, "seed": args.seed}
+    report = {"iters": args.iters, "seed": args.seed, "tier": args.tier}
 
     # 1) shared labeled-only baseline + every thresholding family
     sup = run_golden("fixmatch", iters=args.iters, lambda_u=0.0,
-                     seed=args.seed)["acc"]
+                     seed=args.seed, tier=args.tier)["acc"]
     report["labeled_only_acc"] = sup
     fam = {}
     for alg in THRESHOLD_FAMILIES:
         acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
-                         seed=args.seed)["acc"]
+                         seed=args.seed, tier=args.tier)["acc"]
         fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
     report["thresholding_families"] = fam
@@ -92,6 +100,13 @@ def main():
     # 1b) the remaining families (consistency / mixing / net-wrapper)
     if not args.skip_extra:
         _run_extra(report, sup, args, run_golden)
+    if args.tier == "hard":
+        # hard tier = family sweep only; the SR-noise + imb protocols are
+        # calibrated on the base tier and keep their own artifacts
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, default=float)
+        print(f"wrote {out_path}")
+        return
 
     # 2) SemiReward under pseudo-label noise + the downweighting control
     sr = sr_noise_experiment(noise_frac=0.4, iters=args.sr_iters,
@@ -148,7 +163,8 @@ def _run_extra(report, sup, args, run_golden):
     for alg in EXTRA_FAMILIES:
         try:
             acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
-                             seed=args.seed)["acc"]
+                             seed=args.seed,
+                             tier=getattr(args, "tier", "base"))["acc"]
         except Exception as e:  # keep the sweep going, record the failure
             print(f"[golden] {alg}: FAILED {e}")
             fam[alg] = {"error": str(e)[:200]}

@@ -26,13 +26,26 @@ import numpy as np
 GOLDEN_NET_KWARGS = {"depth": 10, "widen_factor": 2}  # tiny WRN, 128 feats
 
 
+# The HARD golden tier (VERDICT r5 ask #6): the round-3 orbit task
+# saturated — 10 of 17 families at exactly 1.000 (QUALITY_r04) — so a
+# regression in the strongest families was invisible. Harder knobs: more
+# classes (8, so each label sees 3 shots), a narrower labeled wedge
+# (8 deg), an orbit extending to 160 deg (more consistency-propagation
+# hops than RandAugment's ±30 deg rotations can bridge in one step), and
+# more pixel noise. Calibrated (scripts/calibrate_golden.py --tier hard)
+# so the strongest families land ~0.85-0.98 at 1000 iters; the original
+# tier is unchanged (tier="base") for round-to-round continuity.
+HARD_TIER = dict(num_classes=8, labels=24, noise=70)
+HARD_TIER_EXTRA = dict(orbit_rot_lab=8.0, orbit_rot_max=160.0)
+
+
 def golden_config(algorithm: str, *, iters: int = 400, labels: int = None,
                   num_classes: int = None, seed: int = 0,
                   lambda_u: float = 1.0,
                   imb_algorithm: Optional[str] = None,
                   lb_imb_ratio: float = 1.0, ulb_imb_ratio: float = 1.0,
                   save_dir: str = "/tmp/srt_golden", noise: int = None,
-                  dataset: str = "synthetic_orbit",
+                  dataset: str = "synthetic_orbit", tier: str = "base",
                   **overrides):
     """The shared small-but-learnable synthetic setup. ``lambda_u=0`` turns
     any algorithm into its labeled-only baseline at the same label budget
@@ -48,6 +61,16 @@ def golden_config(algorithm: str, *, iters: int = 400, labels: int = None,
     it)."""
     from semireward_tpu.config import get_config
 
+    if tier == "hard":
+        assert dataset == "synthetic_orbit", "hard tier is an orbit tier"
+        if num_classes is None:
+            num_classes = HARD_TIER["num_classes"]
+        if labels is None:
+            labels = HARD_TIER["labels"]
+        if noise is None:
+            noise = HARD_TIER["noise"]
+    elif tier != "base":
+        raise ValueError(f"unknown golden tier {tier!r}")
     if num_classes is None:
         num_classes = 6 if dataset == "synthetic_orbit" else 4
     if labels is None:
@@ -74,6 +97,8 @@ def golden_config(algorithm: str, *, iters: int = 400, labels: int = None,
                      randaug_no_color=True,
                      net_kwargs=dict(GOLDEN_NET_KWARGS),
                      num_wu_iter=64, num_wu_eval_iter=64)
+    if tier == "hard":
+        cfg.extra.update(HARD_TIER_EXTRA)
     return cfg
 
 
