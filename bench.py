@@ -237,15 +237,22 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
 
 
 def measure_steps(trainer, cfg, n_steps=200, host_fetch=False,
-                  seq_lens=None):
-    n_steps = int(os.environ.get("BENCH_N_STEPS", n_steps))
+                  seq_lens=None, host_counter_n=0):
     """``host_fetch=True`` additionally blocks on 4 metric scalars every
     step — the reference's per-step ``log_dict`` ``.item()`` syncs
     (srflexmatch.py:213-216) — for the ref-equivalent measurement.
     ``seq_lens`` (a list) receives the padded token length of each of the
     cycled batches — under length buckets (DEVIATIONS #33) batches differ
     in length, and the FLOPs accounting must use the lengths actually
-    executed, not cfg.max_length."""
+    executed, not cfg.max_length.
+    ``host_counter_n`` > 0 additionally emulates FlexMatch's per-step
+    host curriculum pass (flexmatch/utils.py:277-315: pull the
+    ulb-dataset-sized selected_label tensor to host and run
+    collections.Counter over its list) — a device->host transfer of n
+    int32s + a Python Counter loop per step."""
+    import collections
+
+    n_steps = int(os.environ.get("BENCH_N_STEPS", n_steps))
 
     trainer.state = trainer.state.replace(step=jnp.asarray(100, jnp.int32))
     loader = trainer._make_loader()  # modality-aware (CV / NLP / audio)
@@ -262,12 +269,22 @@ def measure_steps(trainer, cfg, n_steps=200, host_fetch=False,
     # runtime block_until_ready can return before execution completes
     # (measured: 200 BERT steps "blocked" in 0.0 s while the chip ran for
     # another ~25 s) — only a value fetch truly synchronizes
+    counter_src = None
+    if host_counter_n:
+        # ulb-dataset-sized int32 device tensor, re-derived per step from
+        # a live metric so each iteration really pays the device->host
+        # transfer (a constant would be fetched once and cached)
+        counter_src = jax.jit(lambda v: jnp.broadcast_to(
+            v.astype(jnp.int32), (host_counter_n,)))
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, m = trainer._jit_step(state, batches[i % len(batches)])
         if host_fetch:
             _ = (float(m["sup_loss"]), float(m["unsup_loss"]),
                  float(m["total_loss"]), float(m["util_ratio"]))
+        if counter_src is not None:
+            sel = np.asarray(counter_src(m["total_loss"]))
+            _ = collections.Counter(sel.tolist())
     _ = float(m["total_loss"])
     # the original trainer.state buffers were donated — keep the live ones
     trainer.state = state
@@ -504,6 +521,47 @@ def main():
         extras["vit_fwd_ms"] = round(fwd_s * 1e3, 3)
         extras["vs_baseline_arithmetic"] = vs_arith
         vs_baseline = vs_arith
+
+    if args.mode == "large" and not args.skip_ref_equivalent:
+        # Measured ref-equivalent arm for the non-SR classic_cv suite
+        # (VERDICT r5 ask #8). FixMatch's DEVICE work is already identical
+        # to the reference's (same concat forward/backward; WRN has BN so
+        # the split-forward path is inert) — what the reference adds is
+        # PER-STEP HOST work: 4 log_dict .item() syncs (fixmatch.py's
+        # tb_dict) plus, for the flexmatch family, the host curriculum
+        # pass over the ulb-dataset-sized selected_label tensor
+        # (flexmatch/utils.py:277-315). Both are emulated on OUR step:
+        # host_fetch blocks on 4 metric scalars, host_counter_n transfers
+        # an ulb-sized int32 vector and runs collections.Counter over it.
+        # WAN-RTT caveat: through this remote tunnel each scalar fetch
+        # pays WAN latency the reference's local .item() would not, so
+        # the ratio is an upper bound on sync cost; the sync-free rate is
+        # the same program (vs_baseline would be 1.0 by construction).
+        n_ulb = int(cfg.extra.get("synthetic_train", 2048))
+        ref_sync = measure_steps(trainer, cfg, n_steps=50,
+                                 host_fetch=True) / n_chips
+        ref_sync_counter = measure_steps(trainer, cfg, n_steps=50,
+                                         host_fetch=True,
+                                         host_counter_n=n_ulb) / n_chips
+        extras["ref_equivalent_with_host_syncs_steps_per_sec"] = round(
+            ref_sync, 3)
+        extras["ref_equivalent_with_syncs_and_flexmatch_counter"] = round(
+            ref_sync_counter, 3)
+        extras["flexmatch_counter_n"] = n_ulb
+        vs_baseline = round(sps_chip / ref_sync, 3)
+        extras["vs_baseline_measured"] = vs_baseline
+        extras["vs_baseline_note"] = (
+            "MEASURED on-chip: this framework's async-logging step vs the "
+            "same step paying the reference's per-step host work — 4 "
+            ".item() syncs (fixmatch tb_dict); the flexmatch-family "
+            "variant additionally pulls an ulb-dataset-sized (" +
+            str(n_ulb) + " here; 50k on real CIFAR) selected_label vector "
+            "and runs the host Counter pass (flexmatch/utils.py:277-315), "
+            "reported separately. CAVEAT: each sync pays WAN RTT through "
+            "this remote tunnel that the reference's local .item() would "
+            "not — treat the ratio as the async-vs-sync design effect "
+            "measured on THIS link, not a universal constant. The device "
+            "work of the two arms is identical by design.")
 
     if args.mode in ("headline", "nlp", "audio"):
         # Reserve headroom for the arm itself: the measured ref-equivalent
