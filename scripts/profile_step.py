@@ -135,6 +135,17 @@ def main():
         cnt = op_count[name] / args.steps
         print(f"{dur / args.steps / 1e3:8.3f} ms/step x{cnt:5.1f}/step  "
               f"{name[:60]}  {ln[:140]}")
+    # per-category top ops: the aggregate rows above say WHERE time goes,
+    # these say WHAT it is (esp. the 'other'/'fusion' catch-alls)
+    for cat, _ in by_cat.most_common():
+        print(f"\ntop 5 in [{cat}]:")
+        rows = sorted(((d, n) for n, d in by_op.items()
+                       if categorize(n) == cat), reverse=True)[:5]
+        for d, n in rows:
+            ln = long_names.get(n, "")
+            print(f"{d / args.steps / 1e3:8.3f} ms/step "
+                  f"x{op_count[n] / args.steps:5.1f}/step  {n[:50]}  "
+                  f"{ln[:120]}")
 
 
 if __name__ == "__main__":
