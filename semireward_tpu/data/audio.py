@@ -7,7 +7,7 @@ datasetbase.py} and collactors/audio_collactor.py:
   datasetbase.py:177-230)
 - strong view = the reference's sox chain (gain / pitch / speed / reverb,
   datasetbase.py:12-39) re-expressed as vectorized jnp ops: gain is exact;
-  speed/pitch are 32-tap Kaiser-windowed-sinc resampling (sox's resampler
+  speed/pitch are 32-tap Nuttall-windowed-sinc resampling (sox's resampler
   class; sox's filter is longer still — documented residual); reverb is
   sox reverb.c's exact Freeverb structure — combs WITH the HF-damping
   one-pole, sox's reverberance->feedback mapping, Jezar's non-unit
@@ -90,21 +90,26 @@ def _resample_linear(x, rate):
 
 
 _SINC_TAPS = 32
-_KAISER_BETA = 10.0  # ~ -100 dB sidelobes (Kaiser formula: A ~= 100 dB)
+# Nuttall continuous-first-derivative window coefficients: value AND
+# slope are exactly zero at the edges, sidelobes ~-93 dB — the same
+# quality class as Kaiser beta~=10 with three cosines instead of Bessel
+# evaluations in the hot path
+_NUTTALL = (0.355768, 0.487396, 0.144232, 0.012604)
 
 
 def _resample_sinc(x, rate):
-    """Kaiser-windowed-sinc resample of [T] by `rate` (same length out,
-    zero tail) — sox's `rate`/`speed` resampler class (rate.c: Kaiser-
-    windowed polyphase; sox's filter is still longer, but at 32 taps /
-    beta=10 the stopband is ~-100 dB vs the former 16-tap Hann's ~-44 dB,
-    DEVIATIONS.md #18). The kernel cutoff drops to 1/rate when rate>1
-    (reading faster = decimation), which is the anti-alias lowpass a
-    linear interpolator lacks. Fully vectorized: one [K,T] gather + a
-    weighted reduce — no data-dependent control flow, jit/vmap-safe,
-    `rate` may be a traced scalar. Widening 16->32 taps is near-free on
-    TPU: the banded gather is row-count bound (~9 ns/row regardless of
-    width, NOTES_DEV), and taps only widen the rows."""
+    """Nuttall-windowed-sinc resample of [T] by `rate` (same length out,
+    zero tail) — sox's `rate`/`speed` resampler class (rate.c: long
+    windowed-sinc polyphase; sox's filter is still longer, but at 32
+    taps / ~-93 dB stopband this is the same quality class vs the former
+    16-tap Hann's ~-44 dB, DEVIATIONS.md #18). The kernel cutoff drops
+    to 1/rate when rate>1 (reading faster = decimation), which is the
+    anti-alias lowpass a linear interpolator lacks. Fully vectorized:
+    one [K,T] gather + a weighted reduce — no data-dependent control
+    flow, jit/vmap-safe, `rate` may be a traced scalar. Widening 16->32
+    taps is near-free on TPU: the banded gather is row-count bound
+    (~9 ns/row regardless of width, NOTES_DEV), and taps only widen the
+    rows."""
     T = x.shape[0]
     K = _SINC_TAPS
     half = K // 2
@@ -124,27 +129,35 @@ def _resample_sinc(x, rate):
     pos = jnp.arange(Tp, dtype=jnp.float32) * rate
     t0 = jnp.arange(nb, dtype=jnp.float32) * (G * rate)
     s0 = jnp.floor(t0).astype(jnp.int32) - (half - 1)        # block starts
-    xp = jnp.pad(x, (K, SPAN + K))                           # zeros both ends
+    xp = jnp.pad(x, (K, SPAN + K + 1))                       # zeros both ends
     L = T + 2 * K + 1
-    cols = jnp.stack([xp[i:i + L] for i in range(SPAN)], axis=1)  # [L, SPAN]
+    # Hankel window matrix cols[r, j] = xp[r + j] WITHOUT stacking SPAN
+    # shifted slices: each [L,1] slice temp tiles its unit dim to 128 on
+    # TPU (128x padding — SPAN of them OOM'd HBM at K=32, the round-5
+    # regression). The tile trick builds the whole matrix in one pass:
+    # repeating a (Lq+1)-period vector SPAN times and reshaping to
+    # [SPAN, Lq] rotates each row one step — h[j, l] = v[(l-j) mod .] —
+    # so a flip + transpose + shift yields exactly cols.
+    Lq = L + SPAN
+    v = jnp.concatenate([xp[:Lq], jnp.zeros((1,), x.dtype)])
+    h = jnp.broadcast_to(v, (SPAN, Lq + 1)).reshape(-1)[:SPAN * Lq]
+    cols = h.reshape(SPAN, Lq)[::-1].T[SPAN - 1:SPAN - 1 + L]  # [L, SPAN]
     xw = cols[jnp.clip(s0 + K, 0, L - 1)]                    # [nb, SPAN]
     j = jnp.arange(SPAN, dtype=jnp.float32)
     posb = pos.reshape(nb, G)
     off = ((s0[:, None].astype(jnp.float32) + j[None, :])[:, None, :]
            - posb[:, :, None])                               # [nb, G, SPAN]
     cut = jnp.minimum(1.0, 1.0 / rate)
-    # Kaiser window, masked to EXACTLY zero outside +-half so the banded
-    # form (taps evaluated at window positions beyond the true support)
-    # is the same filter as the per-output form, not an approximation
-    # (the former Hann got the zero for free from its cos clip)
-    from jax.scipy.special import i0e
-
+    # Nuttall CFD window, masked to EXACTLY zero outside +-half so the
+    # banded form (taps evaluated at window positions beyond the true
+    # support) is the same filter as the per-output form, not an
+    # approximation (the analytic edge zero is only ~1e-8 in f32)
     u = jnp.clip(off / half, -1.0, 1.0)
-    arg = _KAISER_BETA * jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
-    # I0(a)/I0(beta) computed via the exp-scaled i0e for overflow safety
+    a0, a1, a2, a3 = _NUTTALL
     win = jnp.where(jnp.abs(off) < half,
-                    i0e(arg) * jnp.exp(arg - _KAISER_BETA)
-                    / i0e(jnp.float32(_KAISER_BETA)),
+                    a0 + a1 * jnp.cos(jnp.pi * u)
+                    + a2 * jnp.cos(2 * jnp.pi * u)
+                    + a3 * jnp.cos(3 * jnp.pi * u),
                     0.0)
     w = cut * jnp.sinc(cut * off) * win
     # renormalize so DC gain is exactly 1 at every fractional phase (the

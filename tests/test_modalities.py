@@ -601,11 +601,11 @@ class TestSoxEffectKernels:
         """The TPU-optimized banded form of _resample_sinc (G=16 output
         blocks sharing one contiguous source window, weights evaluated
         at source_index - pos) must be the SAME filter as the textbook
-        per-output Kaiser-windowed sinc — taps outside +-half are masked
+        per-output Nuttall-windowed sinc — taps outside +-half are masked
         to exactly zero, so banding may not change the math. Checked
         against a NumPy per-output evaluation across rates and
         non-multiple-of-16 lengths."""
-        from semireward_tpu.data.audio import (_KAISER_BETA, _SINC_TAPS,
+        from semireward_tpu.data.audio import (_NUTTALL, _SINC_TAPS,
                                                _resample_sinc)
 
         def per_output(x, rate):
@@ -613,7 +613,7 @@ class TestSoxEffectKernels:
             half = _SINC_TAPS // 2
             y = np.zeros(T, np.float64)
             cut = min(1.0, 1.0 / rate)
-            i0b = np.i0(_KAISER_BETA)
+            a0, a1, a2, a3 = _NUTTALL
             for t in range(T):
                 pos = t * rate
                 if pos >= T - 1:
@@ -624,7 +624,9 @@ class TestSoxEffectKernels:
                     off = (lo + k) - pos
                     if abs(off) < half:
                         u = off / half
-                        win = np.i0(_KAISER_BETA * np.sqrt(1 - u * u)) / i0b
+                        win = (a0 + a1 * np.cos(np.pi * u)
+                               + a2 * np.cos(2 * np.pi * u)
+                               + a3 * np.cos(3 * np.pi * u))
                     else:
                         win = 0.0
                     w = cut * np.sinc(cut * off) * win
