@@ -31,12 +31,46 @@ QUICK_MODULES = {
 }
 SLOW_IN_QUICK_MODULES = {"test_train_cli_smoke"}  # 2-min full CLI run
 
+# heavy tier (round 5, VERDICT ask #10): the slowest e2e/corpus/examples
+# tests — excluded from the default run (pyproject addopts) so the
+# default tier fits in ~20 min on this 1-CPU host and future rounds
+# actually run it end-to-end. Selected from a measured --durations=80
+# sweep (docs/testing.md); every entry keeps a cheaper sibling covering
+# the same contract in the default tier. Run with `pytest -m heavy
+# --override-ini addopts=''` (or `-m 'heavy or golden'` for everything).
+HEAVY_TESTS = {
+    "test_train_cli_smoke",                 # 381 s full CLI run (eval CLI
+    #                                         + trainer e2e stay default)
+    "test_examples_run",                    # 249 s runs examples/*.py
+    "test_genuine_classic_cv_config_runs_on_fabricated_cifar10",  # 238 s
+    "test_sr_wrapper_on_custom_algorithm",  # 94 s (custom-alg API keeps
+    "test_custom_algorithm_trains",         # 86 s  notebook + sample cover)
+    "test_synthetic_learnable",             # 89 s (golden tier owns
+    #                                         learning checks)
+    "test_ref_equivalent_reforward_is_loss_equivalent",   # 62 s bench-arm
+    "test_ref_equivalent_reforward_nlp_dict_batch",       # 40 s  -only mode
+    "test_trainer_mesh_gating",             # 52 s (tp/shard bit-identity
+    #                                         tests keep kernel-mesh cover)
+}
+# parametrized cases: keep one representative param in the default tier
+HEAVY_PARAMS = {
+    "test_all_sr_variants_match_base_before_start_timing":
+        {"pseudolabel", "freematch", "softmatch"},  # fixmatch/flexmatch stay
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in QUICK_MODULES and item.name.split("[")[0] not in SLOW_IN_QUICK_MODULES:
+        base = item.name.split("[")[0]
+        if mod in QUICK_MODULES and base not in SLOW_IN_QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
+        if base in HEAVY_TESTS:
+            item.add_marker(pytest.mark.heavy)
+        elif base in HEAVY_PARAMS and "[" in item.name:
+            param = item.name.split("[", 1)[1].rstrip("]")
+            if param in HEAVY_PARAMS[base]:
+                item.add_marker(pytest.mark.heavy)
 
 
 @pytest.fixture

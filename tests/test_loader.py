@@ -181,12 +181,16 @@ class TestPrefetchLoader:
 
 
 class TestJPEGThreadedDecode:
-    def test_gather_matches_sequential(self, tmp_path):
+    def test_gather_matches_sequential(self, tmp_path, monkeypatch):
         """Thread-pool gather must produce the same batch as one-by-one
-        decode (order by position, not completion)."""
+        decode (order by position, not completion). Pins the PIL path:
+        this tests POOL ORDERING, and the native decoder's DCT-scaled
+        output differs from PIL by small pixel deltas (its own closeness
+        test lives in test_modalities.py::TestNativeJPEG)."""
         from PIL import Image
         from semireward_tpu.data.cv_extra import JPEGFolderDataset
 
+        monkeypatch.setenv("SRT_DISABLE_NATIVE_JPEG", "1")
         rs = np.random.RandomState(0)
         paths = []
         for i in range(12):
