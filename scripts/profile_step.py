@@ -61,6 +61,19 @@ def main():
         p.error("--steps must be >= 1")
 
     import jax
+
+    # persistent compile cache (same dir bench.py uses): tracing the SAME
+    # program the bench just measured must not pay the ~10-min remote
+    # compile again
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import semireward_tpu  # noqa: F401
     from bench import build_trainer
