@@ -271,7 +271,9 @@ class Trainer:
                         import zlib
                         views[k[:-5]] = strong_augment_wave(
                             jax.random.fold_in(
-                                arng, zlib.crc32(k.encode()) % (1 << 30)), v)
+                                arng, zlib.crc32(k.encode()) % (1 << 30)), v,
+                            exact_reverb=bool(
+                                cfg.extra.get("audio_exact_reverb", False)))
                     elif k.startswith("x_"):
                         views[k] = v
             else:

@@ -167,7 +167,7 @@ def _resample_sinc(x, rate):
     return jnp.where(pos < T - 1, y, 0.0)[:T]
 
 
-def strong_augment_wave(rng, batch):
+def strong_augment_wave(rng, batch, exact_reverb: bool = False):
     """Reference WaveformTransforms (audio_datasets/datasetbase.py:12-39):
     draws per sample speed in [0.5, 2.0) (0.5 + 1.5*random()), pitch in
     [-2, 2) CENTS (sox `pitch` takes cents — a near-inaudible <0.2%
@@ -182,10 +182,14 @@ def strong_augment_wave(rng, batch):
     duration; the <=0.12% duration error sits in the zero-padded buffer);
     speed is a single resample (the trailing `rate` restores the sample
     rate, leaving the 1/speed duration change, zero-padded/truncated to
-    the fixed buffer); reverb -w (wet-only) is sox's exact Freeverb
-    comb/allpass bank incl. the HF-damping one-pole and sox's
-    reverberance->feedback mapping, solved exactly in the frequency
-    domain (_sox_reverb_wet)."""
+    the fixed buffer); reverb -w (wet-only) is sox's Freeverb bank at
+    sox's own feedback mapping and allpass form — ``exact_reverb=True``
+    (cfg.extra['audio_exact_reverb']) additionally models the HF-damping
+    one-pole exactly via the frequency-domain solve, at a measured ~30%
+    step cost on v5e (XLA lowers the 131k FFT to a sequential while
+    loop); the default fast path's residual vs exact is BOUNDED by
+    tests/test_modalities.py::TestSoxEffectKernels::
+    test_fast_reverb_bounded_vs_exact."""
     B, T = batch.shape
     keys = jax.random.split(rng, 5)
     speed = jax.random.uniform(keys[0], (B,), minval=0.5, maxval=2.0)
@@ -197,6 +201,7 @@ def strong_augment_wave(rng, batch):
     atten_db = jnp.trunc(
         jax.random.uniform(keys[2], (B,), minval=-5.0, maxval=5.0))
     choice = jax.random.randint(keys[3], (B, 2), 0, 4)
+    reverb = _sox_reverb_wet_exact if exact_reverb else _sox_reverb_wet
 
     def apply_one(x, c, sp, pc, att):
         # Not lax.switch: under vmap a batched-predicate switch computes
@@ -208,7 +213,7 @@ def strong_augment_wave(rng, batch):
                          jnp.where(c == 2, sp, 1.0))
         res = _resample_sinc(x, rate)
         gai = _sox_gain_n(x, sp, pc, att)
-        rev = _sox_reverb_wet(x, sp, pc, att)
+        rev = reverb(x, sp, pc, att)
         return jnp.select([c == 0, c == 3], [gai, rev], res)
 
     def per_sample(x, c2, sp, pc, att):
@@ -316,18 +321,68 @@ def _reverb_ir_rfft(T: int, sr: int = _SR):
     return np.fft.rfft(h, L).astype(np.complex64), L
 
 
-def _sox_reverb_wet(x, sp, pc, att):
-    """`reverb -w` (wet-only): exact sox reverb via one rfft/irfft pair
+def _sox_reverb_wet_exact(x, sp=None, pc=None, att=None):
+    """`reverb -w` (wet-only): EXACT sox reverb via one rfft/irfft pair
     against the precomputed impulse-response spectrum (_reverb_ir_rfft).
-    Closes DEVIATIONS #18's comb-damping + reverberance-mapping + allpass
-    -form residuals: the difference equations and parameter mappings are
-    sox reverb.c's own; output is exact to f32 rounding (the r4
-    associative_scan combs could not express the damping one-pole inside
-    the feedback loop — a frequency-domain solve can)."""
+    Models everything in reverb.c — the comb HF-damping one-pole, sox's
+    reverberance->feedback mapping, Jezar's non-unit allpass — exact to
+    f32 rounding. Measured cost (v5e, round 5): XLA lowers the 131k FFT
+    to a sequential while loop, ~28 ms/step extra at the usb_audio
+    geometry (TRACE_r05_audio), so this is the opt-in
+    (cfg.extra['audio_exact_reverb']) and the ORACLE the default fast
+    path is bounded against — not the default."""
     T = x.shape[0]
     Hf, L = _reverb_ir_rfft(T)
     y = jnp.fft.irfft(jnp.fft.rfft(x, n=L) * jnp.asarray(Hf), n=L)
     return y[:T].astype(x.dtype)
+
+
+def _comb_sum(x, coef, d):
+    """Exact first-order delayed IIR: y[t] = x[t-d] + coef*y[t-d], i.e.
+    y[t] = sum_{k>=1} coef^(k-1) x[t-kd]. Evaluated the TPU way: frame
+    the delayed signal into [M, d] rows (rows are exactly one delay
+    apart, so the recurrence couples whole rows), then solve the
+    length-M linear recurrence with lax.associative_scan — ~2*log2(M)
+    fused vector passes instead of a ~40-step sequential lax.scan of
+    shifted copies. No truncation: the infinite IIR, exactly."""
+    T = x.shape[0]
+    z = jnp.pad(x, (d, 0))                       # z[t] = x[t-d]
+    M = -(-(T + d) // d)
+    Z = jnp.pad(z, (0, M * d - (T + d))).reshape(M, d)
+    A = jnp.full((M, 1), jnp.asarray(coef, x.dtype))
+
+    def combine(left, right):
+        al, bl = left
+        ar, br = right
+        return al * ar, br + ar * bl
+
+    _, Y = jax.lax.associative_scan(combine, (A, Z), axis=0)
+    return Y.reshape(-1)[:T]
+
+
+def _sox_reverb_wet(x, sp=None, pc=None, att=None):
+    """`reverb -w` (wet-only), the fast DEFAULT path: sox's Freeverb
+    structure with sox's own parameter mappings — feedback 0.8817 (the
+    reverb.c reverberance formula at the default 50%) and the exact sox
+    allpass H = (1.5 z^-d - 1)/(1 - 0.5 z^-d), which partial-fractions
+    to ``comb_sum(x, 0.5, d) - x`` — solved exactly per filter via the
+    frame-blocked associative_scan (_comb_sum, jit/vmap-parallel). The
+    ONE approximation vs _sox_reverb_wet_exact is the comb HF-damping
+    one-pole (a two-lag recurrence no frame-diagonal scan can express):
+    high frequencies ring longer than sox's. The residual is BOUNDED by
+    a measured octave-band test against the exact oracle
+    (TestSoxEffectKernels::test_fast_reverb_bounded_vs_exact);
+    DEVIATIONS.md #18 records the measured bound."""
+    f, damp, scale, gain = _sox_reverb_constants()
+    xin = gain * x
+    out = jnp.zeros_like(x)
+    for d44 in _COMB_DELAYS_44K:
+        d = max(1, int(d44 * scale * _SR / 44100.0 + 0.5))
+        out = out + _comb_sum(xin, f, d)
+    for d44 in _ALLPASS_DELAYS_44K:
+        d = max(1, int(d44 * scale * _SR / 44100.0 + 0.5))
+        out = _comb_sum(out, 0.5, d) - out
+    return out
 
 
 def weak_augment_wave(rng, batch, orig_lens=None):
