@@ -273,7 +273,7 @@ class Trainer:
                             jax.random.fold_in(
                                 arng, zlib.crc32(k.encode()) % (1 << 30)), v,
                             exact_reverb=bool(
-                                cfg.extra.get("audio_exact_reverb", False)))
+                                cfg.extra.get("audio_exact_reverb", True)))
                     elif k.startswith("x_"):
                         views[k] = v
             else:

@@ -131,17 +131,19 @@ def _resample_sinc(x, rate):
     s0 = jnp.floor(t0).astype(jnp.int32) - (half - 1)        # block starts
     xp = jnp.pad(x, (K, SPAN + K + 1))                       # zeros both ends
     L = T + 2 * K + 1
-    # Hankel window matrix cols[r, j] = xp[r + j] WITHOUT stacking SPAN
-    # shifted slices: each [L,1] slice temp tiles its unit dim to 128 on
-    # TPU (128x padding — SPAN of them OOM'd HBM at K=32, the round-5
-    # regression). The tile trick builds the whole matrix in one pass:
-    # repeating a (Lq+1)-period vector SPAN times and reshaping to
-    # [SPAN, Lq] rotates each row one step — h[j, l] = v[(l-j) mod .] —
-    # so a flip + transpose + shift yields exactly cols.
+    # Hankel window matrix cols[r, j] = xp[r + j], built with the
+    # compiler's own patch extraction. Two prior forms both failed on
+    # TPU: stacking SPAN shifted slices materializes [L,1] temps whose
+    # unit dim pads to 128 (128x memory -> HBM OOM at SPAN=64), and a
+    # broadcast+reshape tile trick lowered to a sequential while loop of
+    # dynamic-update-slices (~25 ms/step, TRACE_r05_audio_fast).
+    # conv_general_dilated_patches lowers as a convolution — MXU-native,
+    # one pass, features-last so the row gather needs no transpose.
     Lq = L + SPAN
-    v = jnp.concatenate([xp[:Lq], jnp.zeros((1,), x.dtype)])
-    h = jnp.broadcast_to(v, (SPAN, Lq + 1)).reshape(-1)[:SPAN * Lq]
-    cols = h.reshape(SPAN, Lq)[::-1].T[SPAN - 1:SPAN - 1 + L]  # [L, SPAN]
+    cols = jax.lax.conv_general_dilated_patches(
+        xp[None, :Lq, None], filter_shape=(SPAN,), window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))[0]          # [Lq-SPAN+1, SPAN]
     xw = cols[jnp.clip(s0 + K, 0, L - 1)]                    # [nb, SPAN]
     j = jnp.arange(SPAN, dtype=jnp.float32)
     posb = pos.reshape(nb, G)
@@ -167,7 +169,7 @@ def _resample_sinc(x, rate):
     return jnp.where(pos < T - 1, y, 0.0)[:T]
 
 
-def strong_augment_wave(rng, batch, exact_reverb: bool = False):
+def strong_augment_wave(rng, batch, exact_reverb: bool = True):
     """Reference WaveformTransforms (audio_datasets/datasetbase.py:12-39):
     draws per sample speed in [0.5, 2.0) (0.5 + 1.5*random()), pitch in
     [-2, 2) CENTS (sox `pitch` takes cents — a near-inaudible <0.2%
@@ -182,12 +184,13 @@ def strong_augment_wave(rng, batch, exact_reverb: bool = False):
     duration; the <=0.12% duration error sits in the zero-padded buffer);
     speed is a single resample (the trailing `rate` restores the sample
     rate, leaving the 1/speed duration change, zero-padded/truncated to
-    the fixed buffer); reverb -w (wet-only) is sox's Freeverb bank at
-    sox's own feedback mapping and allpass form — ``exact_reverb=True``
-    (cfg.extra['audio_exact_reverb']) additionally models the HF-damping
-    one-pole exactly via the frequency-domain solve, at a measured ~30%
-    step cost on v5e (XLA lowers the 131k FFT to a sequential while
-    loop); the default fast path's residual vs exact is BOUNDED by
+    the fixed buffer); reverb -w (wet-only) is sox reverb.c's EXACT
+    filter by default — HF-damping one-pole, sox's reverberance->
+    feedback mapping, Jezar's non-unit allpass — via the frequency-
+    domain solve (measured +1.3 ms/batch24 on v5e vs the scan path once
+    the Hankel build moved to conv patches). ``exact_reverb=False``
+    (cfg.extra['audio_exact_reverb']) selects the associative-scan fast
+    path (no damping pole), whose residual is BOUNDED by
     tests/test_modalities.py::TestSoxEffectKernels::
     test_fast_reverb_bounded_vs_exact."""
     B, T = batch.shape
