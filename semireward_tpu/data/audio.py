@@ -156,10 +156,13 @@ def _resample_sinc(x, rate):
     # approximation (the analytic edge zero is only ~1e-8 in f32)
     u = jnp.clip(off / half, -1.0, 1.0)
     a0, a1, a2, a3 = _NUTTALL
+    # Chebyshev form: cos(2t)=2c^2-1, cos(3t)=4c^3-3c with c=cos(pi*u) —
+    # ONE cosine + a cubic instead of three (transcendentals dominate
+    # this fusion's cost on the VPU: 2x 3.5 ms/step at the audio suite)
+    c = jnp.cos(jnp.pi * u)
     win = jnp.where(jnp.abs(off) < half,
-                    a0 + a1 * jnp.cos(jnp.pi * u)
-                    + a2 * jnp.cos(2 * jnp.pi * u)
-                    + a3 * jnp.cos(3 * jnp.pi * u),
+                    (a0 - a2) + (a1 - 3 * a3) * c
+                    + 2 * a2 * c * c + 4 * a3 * c * c * c,
                     0.0)
     w = cut * jnp.sinc(cut * off) * win
     # renormalize so DC gain is exactly 1 at every fractional phase (the
