@@ -166,7 +166,7 @@ def _crop_flip_single(rng, img, pad: int, hflip: bool):
     return img
 
 
-def _crop_flip_batch(rng, x, pad: int, hflip: bool):
+def _crop_flip_batch(rng, x, pad: int, hflip: bool, use_dot: bool = False):
     """Batched reflect-pad random crop + hflip as ONE gather.
 
     Bit-identical to vmap(_crop_flip_single) — the per-image key derivation
@@ -195,8 +195,36 @@ def _crop_flip_batch(rng, x, pad: int, hflip: bool):
     if hflip:
         flip = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(kf)
         cols = jnp.where(flip[:, None], cols[:, ::-1], cols)
+    if use_dot:
+        return _gather_rc_dot(x, rows, cols)
     gathered = jax.vmap(lambda im, r, c: im[r][:, c])(x, rows, cols)
     return gathered
+
+
+def _gather_rc_dot(x, rows, cols):
+    """``x[b, rows[b,i], cols[b,k], c]`` as two one-hot contractions on the
+    MXU instead of one [B,H,W,C] gather. The TPU gather lowering
+    materializes a [B,H,W,H,1] pred tensor + select-reduce fusions (the
+    round-4 large-mode trace's top entries, ~0.45 ms/view plus pred
+    copies); the dot form moves the same permutation onto the systolic
+    array. Bit-exact for uint8-valued pixels: every output element is a
+    single 1.0*v product (one-hot row), and integers <= 255 are exact in
+    bf16, so even the lowest TPU matmul precision reproduces the gather
+    bytes (tests/test_augment.py::test_crop_dot_bit_identity)."""
+    H, W = x.shape[1], x.shape[2]
+    ry = jax.nn.one_hot(rows, H, dtype=x.dtype)  # [B, Ho, H]
+    cx = jax.nn.one_hot(cols, W, dtype=x.dtype)  # [B, Wo, W]
+    t = jnp.einsum("bij,bjwc->biwc", ry, x)
+    return jnp.einsum("bkw,biwc->bikc", cx, t)
+
+
+def _crop_dot_ok(batch) -> bool:
+    """The dot path is only bit-safe when the source pixels are uint8
+    (values <= 255 exact under bf16 products); SRT_CROP_DOT=0 opts out."""
+    import os as _os
+
+    return (batch.dtype == jnp.uint8
+            and _os.environ.get("SRT_CROP_DOT", "1") != "0")
 
 
 def random_resized_crop(rng, batch, out_size: int,
@@ -249,7 +277,8 @@ def _hflip_batch(rng, x):
     return jnp.where(flip[:, None, None, None], x[:, :, ::-1], x)
 
 
-def _crop_from_larger(rng, x, out_size: int, hflip: bool):
+def _crop_from_larger(rng, x, out_size: int, hflip: bool,
+                      use_dot: bool = False):
     """RandomCrop from a larger decode (reference imagenet.py:51-53:
     Resize(img/crop_ratio) -> RandomCrop(img) -> HFlip) as one gather —
     offsets in [0, src-out], no padding/reflection."""
@@ -264,16 +293,19 @@ def _crop_from_larger(rng, x, out_size: int, hflip: bool):
     if hflip:
         flip = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(kf)
         cols = jnp.where(flip[:, None], cols[:, ::-1], cols)
+    if use_dot:
+        return _gather_rc_dot(x, rows, cols)
     return jax.vmap(lambda im, r, c: im[r][:, c])(x, rows, cols)
 
 
 def weak_augment(rng, batch, spec: AugmentSpec):
     """[B,H,W,C] uint8/float -> normalized float32."""
+    ud = _crop_dot_ok(batch)
     x = batch.astype(jnp.float32)
     if spec.src_size > spec.crop_size:
-        x = _crop_from_larger(rng, x, spec.crop_size, spec.hflip)
+        x = _crop_from_larger(rng, x, spec.crop_size, spec.hflip, use_dot=ud)
     else:
-        x = _crop_flip_batch(rng, x, spec.crop_pad, spec.hflip)
+        x = _crop_flip_batch(rng, x, spec.crop_pad, spec.hflip, use_dot=ud)
     return normalize(x, spec.mean, spec.std)
 
 
@@ -282,6 +314,7 @@ def randaugment(rng, batch, spec: AugmentSpec):
     full-size path (src_size > crop_size) uses RandomResizedCrop like the
     reference strong transform (imagenet.py:58-66); the crop_size path is
     byte-stable with earlier rounds (bit-identity tests)."""
+    ud = _crop_dot_ok(batch)
     x = batch.astype(jnp.float32)
     if spec.src_size > spec.crop_size:
         k1, kf, k2 = jax.random.split(rng, 3)
@@ -290,7 +323,7 @@ def randaugment(rng, batch, spec: AugmentSpec):
             x = _hflip_batch(kf, x)
     else:
         k1, k2 = jax.random.split(rng)
-        x = _crop_flip_batch(k1, x, spec.crop_pad, spec.hflip)
+        x = _crop_flip_batch(k1, x, spec.crop_pad, spec.hflip, use_dot=ud)
     x = _randaugment_batch(k2, x, spec.randaug_n, spec.exclude_color)
     return normalize(x, spec.mean, spec.std)
 

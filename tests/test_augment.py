@@ -153,3 +153,24 @@ def test_crop_flip_batch_matches_per_image_spec(rs):
             keys, x)
         got = _crop_flip_batch(rng, x, pad, hflip)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_crop_dot_bit_identity(rs):
+    """The one-hot-matmul crop path (pipeline._gather_rc_dot, used on TPU
+    for uint8 sources) is BIT-identical to the gather form: every output
+    element is a single 1.0*v product and integers <= 255 are exact in
+    bf16, so even the lowest matmul precision reproduces the gather bytes."""
+    from semireward_tpu.data.augment.pipeline import (_crop_flip_batch,
+                                                      _crop_from_larger)
+
+    x = jnp.asarray(rs.randint(0, 256, (7, 32, 32, 3)), jnp.float32)
+    for pad, hflip in ((4, True), (4, False), (0, True)):
+        rng = jax.random.PRNGKey(23 + pad)
+        ref = _crop_flip_batch(rng, x, pad, hflip, use_dot=False)
+        got = _crop_flip_batch(rng, x, pad, hflip, use_dot=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    big = jnp.asarray(rs.randint(0, 256, (5, 40, 40, 3)), jnp.float32)
+    rng = jax.random.PRNGKey(31)
+    ref = _crop_from_larger(rng, big, 32, True, use_dot=False)
+    got = _crop_from_larger(rng, big, 32, True, use_dot=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
