@@ -85,7 +85,8 @@ def wrn_step_flops(fwd_flops_per_image: float, images: int,
 def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
                   sr_ema: bool = False, fused=None, flash: bool = False,
                   use_cat: bool | None = None, split_fwd: bool = False,
-                  short_text: bool = False, buckets: bool = False):
+                  short_text: bool = False, buckets: bool = False,
+                  bf16_grads: bool = False):
     from semireward_tpu.config import get_config
     from semireward_tpu.core.trainer import Trainer
 
@@ -227,6 +228,10 @@ def build_trainer(mode: str, flat: bool = False, sr_reforward: int = 1,
     # measurement-set default (core/trainer.py: auto-on for BERT at
     # N>=384 on TPU) would otherwise flip the no-flash A/B arm silently.
     cfg.extra["use_flash_attention"] = bool(flash)
+    if bf16_grads:
+        # A/B arm (VERDICT r5 ask #3): bf16 cotangents end-to-end, f32
+        # restored only at the optimizer boundary (core/step.py)
+        cfg.extra["bf16_grads"] = True
     if sr_reforward > 1:
         # ref-equivalent mode: restore the reference's redundant device
         # work (sr_decay() full backbone re-forwards per stage-2 step,
@@ -381,6 +386,9 @@ def main():
                    help="nlp mode: enable static length buckets "
                         "(64/128/256/512); default pins the single "
                         "max_length bucket for round-4 comparability")
+    p.add_argument("--bf16-grads", action="store_true",
+                   help="A/B arm: bf16 cotangents end-to-end (core/"
+                        "step.py bf16_grads), f32 only at the optimizer")
     args = p.parse_args()
 
     import os
@@ -408,7 +416,8 @@ def main():
                                  use_cat=args.use_cat,
                                  split_fwd=args.split_fwd,
                                  short_text=args.short_text,
-                                 buckets=args.buckets)
+                                 buckets=args.buckets,
+                                 bf16_grads=args.bf16_grads)
     _progress(t_start, "measuring step rate (compile on first step)")
     seq_lens: list = []
     steps_per_sec = measure_steps(trainer, cfg, seq_lens=seq_lens)

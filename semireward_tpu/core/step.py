@@ -79,6 +79,7 @@ def make_train_step(cfg, alg: Algorithm, model,
     ``axis_name`` is only needed under shard_map; the default pjit path needs
     no explicit collectives.
     """
+    bf16_grads = bool(cfg.extra.get("bf16_grads", False))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng = prng.step_key(state.rng, state.step)
@@ -98,7 +99,24 @@ def make_train_step(cfg, alg: Algorithm, model,
             out = alg.loss(ctx)
             return out.total_loss, out
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if bf16_grads:
+            # A/B arm (VERDICT r5 ask #3): differentiate wrt a bf16 COPY of
+            # the params so every cotangent — incl. the BN dgamma/dbeta and
+            # conv dW reductions over [B,H,W,C] activations — stays bf16
+            # end-to-end, with f32 restored only at the optimizer boundary
+            # (grads are param-sized, so the convert is ~free). Bench-only
+            # knob, off by default: the model already computes in bf16, so
+            # this changes only the reduce/accumulate dtype of grads.
+            pb = jax.tree_util.tree_map(
+                lambda x: (x.astype(jnp.bfloat16)
+                           if x.dtype == jnp.float32 else x), state.params)
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(pb)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), grads, state.params)
+        else:
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
 

@@ -145,3 +145,35 @@ class TestDonation:
             alg = IMB_ALGORITHMS.get(iname)(
                 cfg, dict(di), base_cls=ALGORITHMS.get("fixmatch"))
             assert_unique(f"fixmatch+{iname}", alg, cfg)
+
+
+class TestBf16Grads:
+    def test_bf16_grads_close_to_f32_and_trains(self, rs):
+        """The bench A/B arm cfg.extra['bf16_grads'] (core/step.py):
+        cotangents flow in bf16 with f32 restored at the optimizer
+        boundary. Contract: grads stay f32-typed at the optimizer (the
+        update must not change param dtypes) and one step lands within
+        bf16 rounding of the f32-cotangent step."""
+        cfg, a, model, state, step = setup()
+        cfg.extra["bf16_grads"] = True
+        from semireward_tpu.core import optim as optim_lib
+        tx = optim_lib.build_optimizer(
+            state.params, optim_name=cfg.optim, lr=cfg.lr,
+            momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+            layer_decay=cfg.layer_decay,
+            num_training_steps=cfg.num_train_iter,
+            num_warmup_steps=cfg.num_warmup_iter, clip_grad=cfg.grad_clip)
+        step_b = make_train_step(cfg, a, model, tx)
+        batch = mkbatch(rs)
+        s32, m32 = jax.jit(step)(state, batch)
+        sb, mb = jax.jit(step_b)(state, batch)
+        assert np.isfinite(float(mb["total_loss"]))
+        np.testing.assert_allclose(float(mb["total_loss"]),
+                                   float(m32["total_loss"]),
+                                   rtol=2e-2, atol=1e-3)
+        for p32, pb in zip(jax.tree_util.tree_leaves(s32.params),
+                           jax.tree_util.tree_leaves(sb.params)):
+            assert pb.dtype == p32.dtype
+            # one SGD step: bf16 grad rounding (~0.4% relative) x lr
+            np.testing.assert_allclose(np.asarray(pb), np.asarray(p32),
+                                       rtol=0.05, atol=3e-3)
