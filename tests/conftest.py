@@ -51,11 +51,31 @@ HEAVY_TESTS = {
     "test_ref_equivalent_reforward_nlp_dict_batch",       # 40 s  -only mode
     "test_trainer_mesh_gating",             # 52 s (tp/shard bit-identity
     #                                         tests keep kernel-mesh cover)
+    # round-5 second pass (measured --durations=60 at r5 HEAD; target
+    # <20 min default on this 1-CPU host). Default-tier siblings noted:
+    "test_trainer_fsdp_mesh_e2e",           # 58 s (test_fsdp_sharded_step
+    #                                         + state-sharding stay)
+    "test_trainer_grafts_checkpoint_and_trains",  # 47 s (graft mechanics
+    #                                         + HF parity units stay)
+    "test_fast_reverb_bounded_vs_exact",    # 46 s (freeverb-tail property
+    "test_reverb_wet_has_no_dry_term",      # 43 s  test stays default)
+    "test_vitb_3axis_stretch_dryrun",       # 39 s (driver dryrun_multichip
+    #                                         + test_sharding meshes cover)
+    "test_tp_sharded_bit_identical",        # 38 s (2d-mesh + single-device
+    #                                         flash bit-identity stay)
+    "test_hubert_eval_identical_and_train_runs",  # 36 s (bert flash-wiring
+    #                                         sibling stays)
+    "test_trainer_fsdp_mesh_uses_sharded_kernel",  # 36 s (dp-mesh fused-MLP
+    #                                         sibling stays)
 }
 # parametrized cases: keep one representative param in the default tier
 HEAVY_PARAMS = {
     "test_all_sr_variants_match_base_before_start_timing":
         {"pseudolabel", "freematch", "softmatch"},  # fixmatch/flexmatch stay
+    # SR-variant one_steps largely duplicate base one_steps + the
+    # sr_equivalence sweep; srflexmatch (the headline) stays default
+    "test_one_step":
+        {"srpseudolabel", "srfixmatch", "srfreematch", "srsoftmatch"},
 }
 
 
