@@ -51,6 +51,11 @@ def main():
                         "QUALITY_r<round>_hard[_seedN].json; family sweep "
                         "only (the SR-noise/imb sections stay on the base "
                         "tier they were calibrated on)")
+    p.add_argument("--save_dir", default=None,
+                   help="run_golden save_dir override — lets two sweeps "
+                        "(e.g. a TPU run and a CPU insurance run under "
+                        "JAX_PLATFORMS=cpu) coexist without sharing "
+                        "/tmp/srt_golden run dirs")
     args = p.parse_args()
 
     # persistent XLA compile cache (same dir bench.py uses): re-sweeps with
@@ -85,14 +90,16 @@ def main():
 
     report = {"iters": args.iters, "seed": args.seed, "tier": args.tier}
 
+    _sd = {"save_dir": args.save_dir} if args.save_dir else {}
+
     # 1) shared labeled-only baseline + every thresholding family
     sup = run_golden("fixmatch", iters=args.iters, lambda_u=0.0,
-                     seed=args.seed, tier=args.tier)["acc"]
+                     seed=args.seed, tier=args.tier, **_sd)["acc"]
     report["labeled_only_acc"] = sup
     fam = {}
     for alg in THRESHOLD_FAMILIES:
         acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
-                         seed=args.seed, tier=args.tier)["acc"]
+                         seed=args.seed, tier=args.tier, **_sd)["acc"]
         fam[alg] = {"ssl_acc": acc, "gain_vs_labeled_only": acc - sup}
         print(f"[golden] {alg}: {acc:.4f} (labeled-only {sup:.4f})")
     report["thresholding_families"] = fam
@@ -160,11 +167,13 @@ def main():
 
 def _run_extra(report, sup, args, run_golden):
     fam = report.setdefault("other_families", {})
+    _sd = ({"save_dir": args.save_dir}
+           if getattr(args, "save_dir", None) else {})
     for alg in EXTRA_FAMILIES:
         try:
             acc = run_golden(alg, iters=args.iters, lambda_u=1.0,
                              seed=args.seed,
-                             tier=getattr(args, "tier", "base"))["acc"]
+                             tier=getattr(args, "tier", "base"), **_sd)["acc"]
         except Exception as e:  # keep the sweep going, record the failure
             print(f"[golden] {alg}: FAILED {e}")
             fam[alg] = {"error": str(e)[:200]}
